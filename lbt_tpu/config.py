@@ -1,0 +1,119 @@
+"""Configuration dataclasses for lbt-tpu.
+
+The reference threads a single ``bits`` integer plus scattered keyword
+defaults through every layer constructor (reference main.py:107-124,
+dynamic_fixed_point.py:129-147).  Here the quantization scheme is one
+hashable dataclass so it can be a static argument of jitted functions,
+and every formerly hard-coded quirk of the reference is an explicit knob.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """DFXP quantization scheme for one model.
+
+    ``bits == 32`` for any tensor class means "passthrough, no
+    quantization" (reference dynamic_fixed_point.py:22-23).
+
+    The reference uses one global bit-width with conv *activations* at
+    ``bits+1`` (reference dynamic_fixed_point.py:287-290 vs :384-388).
+    Here each tensor class has its own width so mixed schemes (e.g.
+    INT4 weights / INT8 activations) are first-class.
+    """
+
+    bits_w: int = 8        # weights
+    bits_a: int = 8        # activations (dense); conv acts get +conv_act_extra
+    bits_b: int = 8        # biases / BN beta,gamma
+    bits_g: int = 8        # backward cotangents
+    conv_act_extra: int = 1  # conv activations quantized at bits_a + this
+    target_overflow_rate: float = 0.0
+    initial_exponent: int = 2
+    # Stochastic rounding. The reference hard-codes stochastic=True at every
+    # quantization site and ignores its --stochastic flag (reference
+    # dynamic_fixed_point.py:288,290,301 etc.); deterministic rounding is
+    # round-half-to-even in both TF and jnp.
+    stochastic: bool = True
+    # Faithful-mode: share one uniform noise sample across the leading axis
+    # (reference dynamic_fixed_point.py:36 draws noise of shape X.shape[1:]).
+    # Default False = independent noise per element (the sound choice).
+    noise_shared_axis0: bool = False
+    # Compute engine for quantized matmul/conv:
+    #   'sim'  - float fake-quant (quantize->dequantize around float op),
+    #            semantics of the reference, fully autodiff-able.
+    #   'int8' - real integer compute: int8 operands, int32 MXU accumulation,
+    #            fused custom_vjp backward also in int8.  Bit-identical to
+    #            'sim' for bit-widths <= 8 (<=9 via exact bf16) by
+    #            construction; the fast path.
+    #   'pallas' - like 'int8' but with hand-written fused Pallas kernels
+    #            for the hot ops.
+    engine: str = "int8"
+    # Reproduce reference bug: evaluation runs with training=True BN batch
+    # stats and live dropout (reference trainer.py:164-165 leaves
+    # set_testing commented out).  Default False = proper eval.
+    faithful_eval: bool = False
+
+    def __post_init__(self):
+        for name in ("bits_w", "bits_a", "bits_b", "bits_g"):
+            b = getattr(self, name)
+            if not (1 <= b <= 32):
+                raise ValueError(f"invalid {name}={b}, expected 1..32")
+        if self.engine not in ("sim", "int8", "pallas"):
+            raise ValueError(f"unknown engine {self.engine!r}")
+
+    @property
+    def bits_a_conv(self) -> int:
+        b = self.bits_a + self.conv_act_extra
+        return min(b, 32)
+
+    @classmethod
+    def fp32(cls) -> "QuantConfig":
+        """Unquantized baseline (reference --bits 32 passthrough)."""
+        return cls(bits_w=32, bits_a=32, bits_b=32, bits_g=32,
+                   conv_act_extra=0, stochastic=False, engine="sim")
+
+    @classmethod
+    def uniform(cls, bits: int, **kw) -> "QuantConfig":
+        """Reference-style single bit-width (conv acts at bits+1)."""
+        if bits == 32:
+            return cls.fp32()
+        return cls(bits_w=bits, bits_a=bits, bits_b=bits, bits_g=bits, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe.
+
+    Defaults mirror the reference CLI defaults (reference main.py:112-122)
+    and its hard-coded LR decay schedule at epochs {80,120,140}
+    (reference trainer.py:117-132).
+    """
+
+    lr: float = 1e-2
+    momentum: float = 0.9
+    weight_decay: float = 2e-4
+    batch_size: int = 32
+    n_epoch: int = 160
+    lr_decay_factor: float = 0.1
+    lr_decay_epochs: Tuple[int, ...] = (80, 120, 140)
+    dropout_keep: float = 0.5
+    # The reference constructs a fresh MomentumOptimizer at each LR decay,
+    # zeroing the momentum slots (reference trainer.py:79-84).  Off by
+    # default: keeping slots is the sound choice.
+    reset_momentum_on_decay: bool = False
+    eval_batch_size: int = 1000
+    log_every: int = 100
+    seed: int = 0
+    # Checkpointing (the reference only saves once at the very end,
+    # reference trainer.py:189-192; we checkpoint periodically + resume).
+    checkpoint_every_epochs: int = 10
+    checkpoint_dir: Optional[str] = None
+    # Parallelism: data-parallel shards of the batch over the mesh 'data'
+    # axis; low-bit all-reduce quantizes gradients to int8 with a shared
+    # exponent (+ error feedback) before the psum.
+    data_parallel: bool = False
+    lowbit_allreduce: bool = False

@@ -1,0 +1,58 @@
+"""Host batching with background device prefetch.
+
+The reference round-trips every batch through the host twice per step
+(fetch with one Session.run, re-feed with feed_dict; reference
+trainer.py:146,153-157, defeating its own tf.data prefetch).  Here the
+host thread slices shuffled numpy arrays and enqueues device transfers
+one step ahead so the TPU never waits on PCIe.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def batch_iterator(
+    x: np.ndarray,
+    y: np.ndarray,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+    seed: int = 0,
+    epoch: int = 0,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Shuffled minibatches (numpy views).  ``drop_remainder`` keeps
+    shapes static for jit."""
+    n = len(x)
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng((seed << 20) ^ epoch)
+        rng.shuffle(idx)
+    end = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        sel = idx[start:start + batch_size]
+        yield x[sel], y[sel]
+
+
+def device_prefetch(iterator, size: int = 2, device=None):
+    """Move batches to device ``size`` steps ahead of consumption."""
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            try:
+                batch = next(iterator)
+            except StopIteration:
+                return
+            queue.append(jax.device_put(batch, device))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)

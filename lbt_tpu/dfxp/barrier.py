@@ -1,0 +1,86 @@
+"""Gradient-quantization barrier.
+
+The reference quantizes the backward cotangent at every conv/dense/BN layer
+boundary inside a hand-written backward chain (reference models.py:47-51,
+dynamic_fixed_point.py:299-305).  Here the same capability is a
+``jax.custom_vjp`` *barrier*: identity in the forward pass, and in the
+backward pass it (a) measures overflow statistics of the incoming float
+cotangent and (b) quantizes it before it continues upstream.
+
+Because backward-pass statistics cannot be returned as auxiliary outputs of
+``jax.grad``, the barrier routes them through a *stat sink*: a zero-valued
+``(2,)`` float32 argument whose cotangent is defined to be the overflow
+rates.  Differentiating the loss w.r.t. the sinks pytree therefore yields
+the per-site backward overflow statistics, purely functionally — this
+replaces the reference's 'update_range' TF-collection side channel
+(reference dynamic_fixed_point.py:40-41, trainer.py:63,157) for gradient
+tensors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import dtypes
+
+from lbt_tpu.dfxp.quantize import overflow_rates, quantize
+
+SINK_SHAPE = (2,)
+
+
+def make_sink() -> jax.Array:
+    """A fresh stat sink; its loss-cotangent carries [ovf, ovf2]."""
+    return jnp.zeros(SINK_SHAPE, jnp.float32)
+
+
+def _float0(x) -> np.ndarray:
+    aval = jax.api_util.shaped_abstractify(x)
+    return np.zeros(aval.shape, dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0, sink):
+    del exp, keydata, sink
+    return x
+
+
+def _barrier_fwd(x, bits, exp, keydata, stochastic, noise_shared_axis0, sink):
+    del sink
+    return x, (exp, keydata)
+
+
+def _barrier_bwd(bits, stochastic, noise_shared_axis0, res, g):
+    exp, keydata = res
+    stats = overflow_rates(g, bits, exp)
+    key = None if keydata is None else jax.random.wrap_key_data(keydata)
+    gq = quantize(
+        g, bits, exp, key,
+        stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
+    )
+    key_cot = None if keydata is None else _float0(keydata)
+    return (gq, _float0(exp), key_cot, stats)
+
+
+_barrier.defvjp(_barrier_fwd, _barrier_bwd)
+
+
+def grad_quant_barrier(
+    x: jax.Array,
+    bits: int,
+    exp: jax.Array,
+    sink: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    stochastic: bool = False,
+    noise_shared_axis0: bool = False,
+) -> jax.Array:
+    """Identity forward; backward quantizes the cotangent at ``(bits, exp)``
+    and emits its overflow stats as the cotangent of ``sink``."""
+    if bits >= 32:
+        return x
+    keydata = None if key is None else jax.random.key_data(key)
+    return _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0, sink)

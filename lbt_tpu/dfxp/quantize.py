@@ -1,0 +1,207 @@
+"""DFXP quantization primitives (pure JAX, jit-safe).
+
+Semantics re-derived from the reference implementation
+(/root/reference/dynamic_fixed_point.py:4-94) but expressed functionally:
+
+* A tensor is quantized to a ``bits``-wide signed fixed-point grid whose
+  binary point sits at ``exp`` integer bits (excluding sign):
+  ``multiplier = 2**(bits - exp - 1)``; codes are clipped to
+  ``[-2**(bits-1), 2**(bits-1) - 1]``.
+* Deterministic rounding is round-half-to-even (``tf.round`` == ``jnp.round``).
+* Stochastic rounding is ``floor(x * multiplier + U[0,1))`` with the clip
+  applied around the noisy value, exactly as reference
+  dynamic_fixed_point.py:32-38.  By default noise is drawn per element;
+  the reference's quirk of sharing one noise sample across the leading
+  axis (noise shape ``X.shape[1:]``) is available via
+  ``noise_shared_axis0=True``.
+* ``bits >= 32`` is an exact passthrough (reference :22-23).
+* The overflow controller (reference :70-94) is a pure function
+  ``update_exponent``: it measures the overflow rate of the *pre-quantized*
+  float tensor at the current exponent and steps the exponent by +-1.
+  The upper clamp ``exp <= bits - 1`` is the reference's; we additionally
+  clamp below at ``EXP_MIN`` because ``2.0**(bits-exp-1)`` overflows float32
+  beyond that point in the reference too (it would produce inf there).
+
+Exponent convention: ``exp`` is the reference's ``integer_bits`` — the
+number of integer bits excluding sign.  Larger ``exp`` = wider range,
+coarser resolution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import dtypes
+
+# Below this exponent the float32 multiplier 2**(bits-1-exp) would overflow;
+# the reference would silently produce inf (tf.cast(2**k, tf.float32)).
+EXP_MIN = -110
+
+
+def multiplier(bits: int, exp: jax.Array) -> jax.Array:
+    """2**(bits - 1 - exp) as an exact float32 power of two."""
+    e = jnp.asarray(bits - 1, jnp.int32) - exp.astype(jnp.int32)
+    return jnp.ldexp(jnp.float32(1.0), e)
+
+
+def _noise(key: jax.Array, shape, shared_axis0: bool) -> jax.Array:
+    if shared_axis0 and len(shape) >= 1:
+        u = jax.random.uniform(key, shape[1:], jnp.float32)
+        return jnp.broadcast_to(u, shape)
+    return jax.random.uniform(key, shape, jnp.float32)
+
+
+def quantize_int(
+    x: jax.Array,
+    bits: int,
+    exp: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    stochastic: bool = False,
+    noise_shared_axis0: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantize to integer codes.
+
+    Returns ``(codes_int32, multiplier)`` with
+    ``dequantized = codes / multiplier``.  ``bits`` must be < 32.
+    """
+    assert bits < 32, "quantize_int is only meaningful for bits < 32"
+    x = x.astype(jnp.float32)
+    mult = multiplier(bits, exp)
+    limit = float(2 ** (bits - 1))
+    scaled = x * mult
+    if stochastic:
+        if key is None:
+            raise ValueError("stochastic quantization requires a PRNG key")
+        scaled = scaled + _noise(key, x.shape, noise_shared_axis0)
+        codes = jnp.floor(jnp.clip(scaled, -limit, limit - 1))
+    else:
+        codes = jnp.round(jnp.clip(scaled, -limit, limit - 1))
+    return codes.astype(jnp.int32), mult
+
+
+def dequantize(codes: jax.Array, mult: jax.Array) -> jax.Array:
+    return codes.astype(jnp.float32) / mult
+
+
+def quantize(
+    x: jax.Array,
+    bits: int,
+    exp: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    stochastic: bool = False,
+    noise_shared_axis0: bool = False,
+) -> jax.Array:
+    """Fake-quantize: quantize then dequantize, no STE (not differentiable
+    in the STE sense — use :func:`quantize_ste` inside models)."""
+    if bits >= 32:
+        return x
+    codes, mult = quantize_int(
+        x, bits, exp, key,
+        stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
+    )
+    return dequantize(codes, mult)
+
+
+# ---------------------------------------------------------------------------
+# Straight-through estimator
+# ---------------------------------------------------------------------------
+
+def _float0(x) -> np.ndarray:
+    aval = jax.api_util.shaped_abstractify(x)
+    return np.zeros(aval.shape, dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
+def _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, keydata):
+    key = None if keydata is None else jax.random.wrap_key_data(keydata)
+    return quantize(
+        x, bits, exp, key,
+        stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
+    )
+
+
+def _quantize_ste_fwd(x, bits, exp, stochastic, noise_shared_axis0, keydata):
+    y = _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, keydata)
+    return y, (exp, keydata)
+
+
+def _quantize_ste_bwd(bits, stochastic, noise_shared_axis0, res, g):
+    # STE: cotangent passes through untouched (reference
+    # dynamic_fixed_point.py:30,38 `lambda dy: dy`).
+    exp, keydata = res
+    key_cot = None if keydata is None else _float0(keydata)
+    return (g, _float0(exp), key_cot)
+
+
+_quantize_ste.defvjp(_quantize_ste_fwd, _quantize_ste_bwd)
+
+
+def quantize_ste(
+    x: jax.Array,
+    bits: int,
+    exp: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    stochastic: bool = False,
+    noise_shared_axis0: bool = False,
+) -> jax.Array:
+    """Fake-quantize with straight-through gradient (identity backward)."""
+    if bits >= 32:
+        return x
+    keydata = None if key is None else jax.random.key_data(key)
+    return _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, keydata)
+
+
+# ---------------------------------------------------------------------------
+# Overflow measurement + dynamic range controller
+# ---------------------------------------------------------------------------
+
+def overflow_rates(x: jax.Array, bits: int, exp: jax.Array) -> jax.Array:
+    """Fraction of elements clipping at the current range and at half range.
+
+    Returns a float32 ``(2,)`` array ``[overflow(x), overflow(2x)]``
+    (reference dynamic_fixed_point.py:48-67): element overflows when
+    ``x * multiplier >= limit`` or ``< -limit``; the half-range mask uses
+    ``limit / 2``.
+    """
+    x = x.astype(jnp.float32)
+    mult = multiplier(bits, exp)
+    limit = float(2 ** (bits - 1))
+    scaled = x * mult
+    over = jnp.logical_or(scaled >= limit, scaled < -limit)
+    over2 = jnp.logical_or(scaled >= limit / 2, scaled < -limit / 2)
+    return jnp.stack([
+        jnp.mean(over.astype(jnp.float32)),
+        jnp.mean(over2.astype(jnp.float32)),
+    ])
+
+
+def update_exponent(
+    exp: jax.Array,
+    rates: jax.Array,
+    bits: int,
+    target_overflow_rate: float = 0.0,
+) -> jax.Array:
+    """One controller step on a tensor's exponent.
+
+    ``rates`` is the output of :func:`overflow_rates` measured on the
+    pre-quantization float tensor at the *current* exponent.  Truth table
+    (reference dynamic_fixed_point.py:84-94):
+
+    * ``overflow(x) > target``  -> widen  (exp + 1)
+    * ``overflow(2x) <= target`` -> tighten (exp - 1)
+    * otherwise                 -> hold
+    """
+    ovf, ovf2 = rates[..., 0], rates[..., 1]
+    delta = jnp.where(
+        ovf > target_overflow_rate,
+        jnp.int32(1),
+        jnp.where(ovf2 <= target_overflow_rate, jnp.int32(-1), jnp.int32(0)),
+    )
+    return jnp.clip(exp.astype(jnp.int32) + delta, EXP_MIN, bits - 1)

@@ -1,0 +1,16 @@
+"""Functional quantized layer library."""
+
+from lbt_tpu.nn.core import Ctx, Layer, Sequential, finalize  # noqa: F401
+from lbt_tpu.nn.layers import (  # noqa: F401
+    AvgPool,
+    Conv2d,
+    Dense,
+    Dropout,
+    Flatten,
+    GradientBuffer,
+    MaxPool,
+    ReLU,
+)
+from lbt_tpu.nn.norm import BatchNorm, Normalization, Rescale  # noqa: F401
+from lbt_tpu.nn.blocks import ResidualBlock, ResidualBottleneck  # noqa: F401
+from lbt_tpu.nn.model import Model  # noqa: F401

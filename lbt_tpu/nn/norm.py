@@ -1,0 +1,204 @@
+"""Quantized batch normalization, split into statistics + affine halves
+exactly as the reference does (Normalization_q / Rescale_q composed by a
+Sequential, reference dynamic_fixed_point.py:539-743)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lbt_tpu.config import QuantConfig
+from lbt_tpu.dfxp.barrier import grad_quant_barrier
+from lbt_tpu.dfxp.quantize import quantize_ste
+from lbt_tpu.nn.core import Layer, Sequential
+
+_SITE_X, _SITE_GAMMA, _SITE_BETA, _SITE_G = range(4)
+_E0 = jnp.int32(0)
+
+
+class Normalization(Layer):
+    """BN statistics half (reference dynamic_fixed_point.py:539-623).
+
+    Quantizes the input, takes batch moments of the *quantized* input over
+    all axes but the channel axis, and normalizes; running statistics are
+    EMA-updated (momentum 0.999) during training.  The mean/variance
+    themselves stay unquantized (reference TODO at :615).  Gradients flow
+    through the batch moments, as in the reference's
+    ``tf.gradients(y, X, gradq)``.
+
+    Eval uses running statistics; ``cfg.faithful_eval`` reproduces the
+    reference bug of evaluating with batch statistics (reference
+    trainer.py:164-165).
+    """
+
+    def __init__(self, name: str, cfg: QuantConfig, num_features: int,
+                 momentum: float = 0.999, eps: float = 1e-5):
+        super().__init__(name, cfg)
+        self.num_features = num_features
+        self.momentum = momentum
+        self.eps = eps
+
+    def init(self, key):
+        cfg = self.cfg
+        exp = {}
+        if cfg.bits_a < 32:
+            exp["x"] = jnp.int32(cfg.initial_exponent)
+        if cfg.bits_g < 32:
+            exp["grad"] = jnp.int32(cfg.initial_exponent)
+        state = {
+            "mean": jnp.zeros((self.num_features,), jnp.float32),
+            "var": jnp.ones((self.num_features,), jnp.float32),
+        }
+        return {}, {"exp": exp, "state": state}
+
+    def sink_spec(self):
+        return {"grad": (2,)} if self.cfg.bits_g < 32 else {}
+
+    def apply(self, params, qstate, sinks, x, ctx):
+        cfg = self.cfg
+        exp = qstate["exp"]
+        state = qstate["state"]
+        new_exp = dict(exp)
+        kw = dict(stochastic=cfg.stochastic,
+                  noise_shared_axis0=cfg.noise_shared_axis0)
+
+        if "x" in exp:
+            new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])
+        xq = quantize_ste(
+            x, cfg.bits_a, exp.get("x", _E0),
+            ctx.layer_key(self.uid, _SITE_X), **kw,
+        )
+
+        axes = tuple(range(x.ndim - 1))
+
+        def batch_moments():
+            # cross-shard (sync-BN) moments when data-parallel, so the
+            # normalization and EMA state match global-batch semantics
+            mean = jnp.mean(xq, axes)
+            m2 = jnp.mean(jnp.square(xq), axes)
+            if ctx.psum_axis is not None:
+                mean = jax.lax.pmean(mean, ctx.psum_axis)
+                m2 = jax.lax.pmean(m2, ctx.psum_axis)
+            return mean, m2 - jnp.square(mean)
+
+        if ctx.train:
+            mean, var = batch_moments()
+        else:
+            mean, var = state["mean"], state["var"]
+
+        if ctx.update:
+            m = self.momentum
+            mean_b, var_b = (mean, var) if ctx.train else batch_moments()
+            new_state = {
+                "mean": m * state["mean"] + (1 - m) * mean_b,
+                "var": m * state["var"] + (1 - m) * var_b,
+            }
+        else:
+            new_state = state
+
+        y = (xq - mean) / jnp.sqrt(var + self.eps)
+
+        if cfg.bits_g < 32:
+            y = grad_quant_barrier(
+                y, cfg.bits_g, exp["grad"], sinks["grad"],
+                ctx.layer_key(self.uid, _SITE_G), **kw,
+            )
+        return y, {"exp": new_exp, "state": new_state}
+
+    def absorb_sinks(self, qstate, sink_cots):
+        return self._absorb_grad_site(qstate, sink_cots, self.cfg.bits_g)
+
+    def info(self):
+        return f"normalization C={self.num_features}"
+
+
+class Rescale(Layer):
+    """BN affine half: ``y = Xq * gamma_q + beta_q`` with gamma, beta and
+    the input each DFXP-quantized (reference dynamic_fixed_point.py:626-694).
+    Weight decay applies to gamma but not beta (reference :689-690)."""
+
+    def __init__(self, name: str, cfg: QuantConfig, num_features: int,
+                 weight_decay: float = 0.0):
+        super().__init__(name, cfg)
+        self.num_features = num_features
+        self.weight_decay = weight_decay
+
+    def init(self, key):
+        cfg = self.cfg
+        params = {
+            "gamma": jnp.ones((self.num_features,), jnp.float32),
+            "beta": jnp.zeros((self.num_features,), jnp.float32),
+        }
+        exp = {}
+        if cfg.bits_a < 32:
+            exp["x"] = jnp.int32(cfg.initial_exponent)
+        if cfg.bits_b < 32:
+            exp["gamma"] = jnp.int32(cfg.initial_exponent)
+            exp["beta"] = jnp.int32(cfg.initial_exponent)
+        if cfg.bits_g < 32:
+            exp["grad"] = jnp.int32(cfg.initial_exponent)
+        return params, {"exp": exp, "state": {}}
+
+    def sink_spec(self):
+        return {"grad": (2,)} if self.cfg.bits_g < 32 else {}
+
+    def decay_tree(self):
+        return {"gamma": self.weight_decay, "beta": 0.0}
+
+    def apply(self, params, qstate, sinks, x, ctx):
+        cfg = self.cfg
+        exp = qstate["exp"]
+        new_exp = dict(exp)
+        kw = dict(stochastic=cfg.stochastic,
+                  noise_shared_axis0=cfg.noise_shared_axis0)
+
+        if "x" in exp:
+            new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])
+        if "gamma" in exp:
+            new_exp["gamma"] = self._ctrl(
+                ctx, params["gamma"], cfg.bits_b, exp["gamma"])
+            new_exp["beta"] = self._ctrl(
+                ctx, params["beta"], cfg.bits_b, exp["beta"])
+
+        xq = quantize_ste(
+            x, cfg.bits_a, exp.get("x", _E0),
+            ctx.layer_key(self.uid, _SITE_X), **kw,
+        )
+        gq = quantize_ste(
+            params["gamma"], cfg.bits_b, exp.get("gamma", _E0),
+            ctx.layer_key(self.uid, _SITE_GAMMA), **kw,
+        )
+        bq = quantize_ste(
+            params["beta"], cfg.bits_b, exp.get("beta", _E0),
+            ctx.layer_key(self.uid, _SITE_BETA), **kw,
+        )
+        y = xq * gq + bq
+
+        if cfg.bits_g < 32:
+            y = grad_quant_barrier(
+                y, cfg.bits_g, exp["grad"], sinks["grad"],
+                ctx.layer_key(self.uid, _SITE_G), **kw,
+            )
+        return y, {"exp": new_exp, "state": qstate["state"]}
+
+    def absorb_sinks(self, qstate, sink_cots):
+        return self._absorb_grad_site(qstate, sink_cots, self.cfg.bits_g)
+
+    def info(self):
+        return f"rescale C={self.num_features} wd {self.weight_decay}"
+
+
+class BatchNorm(Sequential):
+    """Normalization + Rescale (reference BatchNorm_q,
+    dynamic_fixed_point.py:697-743)."""
+
+    def __init__(self, name: str, cfg: QuantConfig, num_features: int,
+                 momentum: float = 0.999, eps: float = 1e-5,
+                 weight_decay: float = 0.0):
+        super().__init__(name, [
+            Normalization("norm", cfg, num_features, momentum, eps),
+            Rescale("rescale", cfg, num_features, weight_decay),
+        ])
+
+    def info(self):
+        return "batchnorm"

@@ -1,0 +1,200 @@
+"""Fused DFXP quantization kernels (Pallas / Mosaic TPU).
+
+Design notes (see pallas_guide.md):
+
+* the power-of-two multiplier ``2**(bits-1-exp)`` is computed *outside*
+  the kernel with ``jnp.ldexp`` (exact) and passed as an SMEM scalar —
+  in-kernel ``exp2`` is a VPU polynomial and not guaranteed exact;
+* stochastic rounding uses the per-core hardware PRNG
+  (``pltpu.prng_seed`` / ``prng_random_bits``): uniform [0,1) noise is
+  built from the top 24 bits of a uint32, ``u = (r >> 8) * 2**-24``,
+  an order of magnitude cheaper than XLA's threefry;
+* int8 tiles obey the (32, 128) minimum tile rule; all shapes are padded
+  to (128, 128) multiples by the wrappers (zeros quantize to zero and
+  contribute nothing to the matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbt_tpu.dfxp.quantize import multiplier
+
+_INV24 = float(2.0 ** -24)
+
+
+def _uniform01(shape):
+    r = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits -> [0, 2**24); route through int32 (Mosaic has no
+    # uint32->f32 cast); values < 2**24 so the sign bit is never set
+    r24 = pltpu.bitcast(r >> 8, jnp.int32)
+    return r24.astype(jnp.float32) * _INV24
+
+
+def _quantize_block(x, mult, limit, stochastic):
+    scaled = x * mult
+    if stochastic:
+        scaled = scaled + _uniform01(scaled.shape)
+        return jnp.floor(jnp.clip(scaled, -limit, limit - 1.0))
+    return jnp.round(jnp.clip(scaled, -limit, limit - 1.0))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# standalone fused quantize -> int8 codes
+# ---------------------------------------------------------------------------
+
+
+def _quant_kernel(mult_ref, seed_ref, x_ref, out_ref, *, bits, stochastic):
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    limit = float(2 ** (bits - 1))
+    codes = _quantize_block(x_ref[:], mult_ref[0], limit, stochastic)
+    out_ref[:] = codes.astype(out_ref.dtype)
+
+
+def quantize_pallas(
+    x: jax.Array,
+    bits: int,
+    exp: jax.Array,
+    seed: Optional[jax.Array] = None,
+    *,
+    stochastic: bool = False,
+    block_rows: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused DFXP quantize of an arbitrary-shape f32 tensor.
+
+    Returns ``(codes, mult)`` with codes int8 when ``bits <= 8`` else
+    int32, ``dequantized = codes / mult``.
+    """
+    assert bits < 32
+    orig_shape = x.shape
+    n = x.size
+    lanes = 128
+    cols = lanes
+    rows = _round_up(-(-n // cols), 8)
+    padded = rows * cols
+    xf = jnp.pad(x.reshape(-1), (0, padded - n)).reshape(rows, cols)
+
+    mult = multiplier(bits, exp).reshape(1)
+    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
+                else seed.reshape(1).astype(jnp.int32))
+    out_dtype = jnp.int8 if bits <= 8 else jnp.int32
+
+    grid = (pl.cdiv(rows, block_rows),)
+    codes = pl.pallas_call(
+        functools.partial(_quant_kernel, bits=bits, stochastic=stochastic),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), out_dtype),
+    )(mult, seed_arr, xf)
+    return codes.reshape(-1)[:n].reshape(orig_shape), multiplier(bits, exp)
+
+
+# ---------------------------------------------------------------------------
+# fused quantize(x) @ quantize(w) int8 matmul with dequant
+# ---------------------------------------------------------------------------
+
+
+def _qmm_kernel(mx_ref, mw_ref, seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
+                bits_x, bits_w, stochastic, k_tiles):
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    limit_x = float(2 ** (bits_x - 1))
+    limit_w = float(2 ** (bits_w - 1))
+    if stochastic:
+        # seed must not depend on j for x tiles / on i for w tiles, so a
+        # tile re-quantized for another output block gets identical noise
+        pltpu.prng_seed(seed_ref[0], i, k)
+    xq = _quantize_block(x_ref[:], mx_ref[0], limit_x, stochastic)
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + 0x9E37, k, j)
+    wq = _quantize_block(w_ref[:], mw_ref[0], limit_w, stochastic)
+
+    acc_ref[:] += jax.lax.dot_general(
+        xq.astype(jnp.int8), wq.astype(jnp.int8),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == k_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) / (mx_ref[0] * mw_ref[0])
+
+
+def qmatmul_pallas(
+    x: jax.Array,
+    w: jax.Array,
+    exp_x: jax.Array,
+    exp_w: jax.Array,
+    *,
+    bits_x: int,
+    bits_w: int,
+    seed: Optional[jax.Array] = None,
+    stochastic: bool = False,
+    tm: int = 256,
+    tk: int = 256,
+    tn: int = 256,
+) -> jax.Array:
+    """Fused DFXP matmul: quantize both f32 operands to int8 in VMEM, MXU
+    int8 x int8 -> int32, dequantize the output tile.  Codes never touch
+    HBM.  Requires ``bits_x, bits_w <= 8``."""
+    assert bits_x <= 8 and bits_w <= 8
+    m, kdim = x.shape
+    k2, n = w.shape
+    assert kdim == k2
+    mp, kp, np_ = _round_up(m, tm), _round_up(kdim, tk), _round_up(n, tn)
+    xp = jnp.pad(x, ((0, mp - m), (0, kp - kdim)))
+    wp = jnp.pad(w, ((0, kp - kdim), (0, np_ - n)))
+
+    mx = multiplier(bits_x, exp_x).reshape(1)
+    mw = multiplier(bits_w, exp_w).reshape(1)
+    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
+                else seed.reshape(1).astype(jnp.int32))
+    k_tiles = kp // tk
+
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_kernel, bits_x=bits_x, bits_w=bits_w,
+            stochastic=stochastic, k_tiles=k_tiles),
+        grid=(mp // tm, np_ // tn, k_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp + kp * np_) * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+    )(mx, mw, seed_arr, xp, wp)
+    return out[:m, :n]

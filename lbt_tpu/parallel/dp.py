@@ -1,0 +1,91 @@
+"""Data-parallel train step under ``shard_map``.
+
+Params/state replicated, batch sharded over the ``data`` axis; gradients
+mean-all-reduced — either exactly (f32 ``pmean``) or in DFXP-int8 with a
+shared exponent and error feedback (lbt_tpu/parallel/lowbit.py).
+Quantizer exponents, BN statistics and backward overflow stats are
+pmean-synchronized inside the step (see Ctx.psum_axis), so all replicated
+state stays bitwise identical across shards.
+
+Plain DP without the low-bit collective can also be had with ordinary
+``jax.jit`` + batch sharding (GSPMD inserts the psum); this explicit
+shard_map path exists because the low-bit all-reduce needs manual control
+of the collective.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lbt_tpu.config import TrainConfig
+from lbt_tpu.nn.core import Ctx
+from lbt_tpu.nn.model import Model
+from lbt_tpu.parallel.lowbit import lowbit_allreduce
+from lbt_tpu.train.optim import apply_weight_decay, momentum_update
+
+AXIS = "data"
+
+
+def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
+                       lowbit_bits: Optional[int] = None,
+                       donate: bool = True):
+    """Returns a jitted step:
+
+        (params, qstate, velocity, ebuf, x, y, step, lr, key)
+            -> (params', qstate', velocity', ebuf', metrics)
+
+    ``ebuf`` are the per-leaf error-feedback buffers (zeros_like(params));
+    ignored (threaded through) when ``lowbit_bits`` is None.
+    """
+    decay = model.decay_tree()
+
+    def loss_fn(params, sinks, qstate, x, y, key):
+        ctx = Ctx(train=True, key=key, update=True, psum_axis=AXIS)
+        logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
+        loss, acc = model.loss_and_acc(logits, y)
+        # global-batch 1/N loss scaling (see train/step.py): backward
+        # cotangent magnitudes then match a single-device full-batch run
+        loss = loss / jax.lax.psum(jnp.float32(1.0), AXIS)
+        return loss, (new_qstate, acc)
+
+    def step_fn(params, qstate, velocity, ebuf, x, y, step, lr, base_key):
+        key = jax.random.fold_in(base_key, step)
+        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+        sinks = model.make_sinks()
+        (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True,
+        )(params, sinks, qstate, x, y, key)
+
+        sink_cots = jax.lax.pmean(sink_cots, AXIS)
+        new_qstate = model.absorb_sinks(new_qstate, sink_cots)
+
+        if lowbit_bits is not None:
+            grads, new_ebuf = lowbit_allreduce(
+                grads, ebuf, AXIS, bits=lowbit_bits, reduce="sum")
+        else:
+            grads = jax.lax.psum(grads, AXIS)
+            new_ebuf = ebuf
+
+        loss = jax.lax.psum(loss, AXIS)
+        acc = jax.lax.pmean(acc, AXIS)
+
+        grads = apply_weight_decay(grads, params, decay)
+        new_params, new_velocity = momentum_update(
+            params, velocity, grads, lr, tc.momentum)
+        return (new_params, new_qstate, new_velocity, new_ebuf,
+                {"loss": loss, "accuracy": acc})
+
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped,
+                   donate_argnums=(0, 1, 2, 3) if donate else ())

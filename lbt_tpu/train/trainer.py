@@ -1,0 +1,170 @@
+"""Training loop.
+
+Replaces the reference Trainer (reference trainer.py:31-192): one jitted
+train step per batch (forward + quantized backward + controller updates +
+momentum SGD fused by XLA), device-prefetched input, per-epoch evaluation,
+periodic checkpoints with resume, JSONL/TensorBoard metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbt_tpu.config import TrainConfig
+from lbt_tpu.data.pipeline import batch_iterator, device_prefetch
+from lbt_tpu.nn.model import Model
+from lbt_tpu.train import checkpoint as ckpt
+from lbt_tpu.train.optim import momentum_init, piecewise_lr
+from lbt_tpu.train.step import make_eval_step, make_train_step
+from lbt_tpu.utils.logging import MetricsWriter, get_logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: Model,
+        tc: TrainConfig,
+        dataset: Dict,
+        augment: Optional[Callable] = None,
+        logger=None,
+        logdir: Optional[str] = None,
+    ):
+        self.model = model
+        self.tc = tc
+        self.dataset = dataset
+        self.augment = jax.jit(augment) if augment is not None else None
+        self.logger = logger or get_logger(
+            f"{logdir}/experiment.log" if logdir else None)
+        self.metrics = MetricsWriter(logdir)
+
+        self.train_step = make_train_step(model, tc)
+        faithful = bool(model.cfg and model.cfg.faithful_eval)
+        self.eval_step = make_eval_step(model, faithful_eval=faithful)
+
+        self.base_key = jax.random.key(tc.seed)
+        params_key, self.data_key = jax.random.split(
+            jax.random.fold_in(self.base_key, 0xA11CE))
+        self.params, self.qstate = model.init(params_key)
+        self.velocity = momentum_init(self.params)
+        self.step = 0
+        self.epoch = 0
+
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+        self.logger.info("Model %s: %d params\n%s",
+                         model.name, n_params, model.info())
+        self.logger.info(
+            "Trainer: lr %g decay %g @ %s, momentum %g, wd %g, bs %d, "
+            "%d epochs", tc.lr, tc.lr_decay_factor,
+            list(tc.lr_decay_epochs), tc.momentum, tc.weight_decay,
+            tc.batch_size, tc.n_epoch)
+
+    # -- checkpoint ---------------------------------------------------------
+    def _state(self):
+        return {
+            "params": self.params,
+            "qstate": self.qstate,
+            "velocity": self.velocity,
+            "epoch": self.epoch,
+        }
+
+    def save(self, directory: Optional[str] = None):
+        directory = directory or self.tc.checkpoint_dir
+        if not directory:
+            return
+        ckpt.save_checkpoint(directory, self.step, self._state())
+        self.logger.info("Saved checkpoint @ step %d to %s",
+                         self.step, directory)
+
+    def maybe_restore(self) -> bool:
+        d = self.tc.checkpoint_dir
+        if not d:
+            return False
+        step = ckpt.latest_step(d)
+        if step is None:
+            return False
+        state = ckpt.restore_checkpoint(d, self._state(), step)
+        self.params = state["params"]
+        self.qstate = state["qstate"]
+        self.velocity = state["velocity"]
+        self.epoch = int(state["epoch"])
+        self.step = step
+        self.logger.info("Resumed from %s @ step %d (epoch %d)",
+                         d, step, self.epoch)
+        return True
+
+    # -- loops --------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        tc = self.tc
+        lr = piecewise_lr(tc.lr, tc.lr_decay_factor, tc.lr_decay_epochs,
+                          epoch)
+        if (tc.reset_momentum_on_decay and epoch in tc.lr_decay_epochs):
+            # reference quirk: fresh optimizer at each decay zeroes the
+            # momentum slots (reference trainer.py:79-84)
+            self.velocity = momentum_init(self.params)
+            self.logger.info("Reset momentum slots (faithful mode)")
+
+        xtr, ytr = self.dataset["train"]
+        batches = device_prefetch(
+            batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
+                           epoch=epoch))
+        lr_dev = jnp.float32(lr)
+        last = {}
+        t0, n_img = time.time(), 0
+        for b, (x, y) in enumerate(batches):
+            if self.augment is not None:
+                x = self.augment(
+                    jax.random.fold_in(self.data_key, self.step), x)
+            self.params, self.qstate, self.velocity, m = self.train_step(
+                self.params, self.qstate, self.velocity, x, y,
+                self.step, lr_dev, self.base_key)
+            self.step += 1
+            n_img += len(y)
+            if (b + 1) % self.tc.log_every == 0:
+                m = jax.device_get(m)
+                rate = n_img / (time.time() - t0)
+                self.logger.info(
+                    "epoch %d batch %d loss %.4f acc %.4f (%.0f img/s)",
+                    epoch, b + 1, m["loss"], m["accuracy"], rate)
+                self.metrics.write(self.step, m, prefix="train/")
+                last = m
+        return last
+
+    def evaluate(self) -> Dict[str, float]:
+        tc = self.tc
+        xte, yte = self.dataset["test"]
+        tot = {"loss": 0.0, "accuracy": 0.0}
+        n_batches = 0
+        key = jax.random.fold_in(self.base_key, 0xE7A1)
+        for x, y in batch_iterator(xte, yte, tc.eval_batch_size,
+                                   shuffle=False, drop_remainder=False):
+            m = self.eval_step(self.params, self.qstate, x, y, key)
+            m = jax.device_get(m)
+            tot["loss"] += float(m["loss"])
+            tot["accuracy"] += float(m["accuracy"])
+            n_batches += 1
+        # mean over batches, as the reference does (trainer.py:185-186)
+        return {k: v / max(n_batches, 1) for k, v in tot.items()}
+
+    def train(self):
+        self.maybe_restore()
+        tc = self.tc
+        while self.epoch < tc.n_epoch:
+            self.train_epoch(self.epoch)
+            ev = self.evaluate()
+            self.logger.info("Epoch %d test accuracy %.4f loss %.4f",
+                             self.epoch + 1, ev["accuracy"], ev["loss"])
+            self.metrics.write(self.step, ev, prefix="test/")
+            self.metrics.write_exponents(self.step, self.qstate)
+            self.epoch += 1
+            if (tc.checkpoint_dir and tc.checkpoint_every_epochs and
+                    self.epoch % tc.checkpoint_every_epochs == 0):
+                self.save()
+        if tc.checkpoint_dir:
+            self.save()
+        return self.evaluate()

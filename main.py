@@ -1,0 +1,136 @@
+"""Experiment CLI.
+
+Mirrors the reference driver (reference main.py:106-166) with every
+formerly dead or hard-coded knob made real (SURVEY.md §5.6): separate
+per-tensor-class bit-widths, target overflow rate, LR decay schedule,
+engine selection, faithful-mode toggles, checkpoint/resume, and
+data-parallel execution.
+
+Example:
+    python main.py --model CIFAR10_Resnet20 --bits 8 --n_epoch 160
+    python main.py --model CIFAR10_VGG --bits_w 4 --bits_a 8 --bits_g 8
+"""
+
+import argparse
+import datetime
+import json
+import os
+
+from lbt_tpu.config import QuantConfig, TrainConfig
+from lbt_tpu.data.datasets import load_dataset, make_augment
+from lbt_tpu.models import build_model
+from lbt_tpu.models.zoo import MODEL_DATASET, MODEL_REGISTRY
+from lbt_tpu.train.trainer import Trainer
+from lbt_tpu.utils.logging import get_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="DFXP low-bit training on TPU")
+    p.add_argument("--exp_path", type=str, default=None)
+    p.add_argument("--model", type=str, default="CIFAR10_Resnet20",
+                   choices=sorted(MODEL_REGISTRY))
+    # quantization (reference --bits, plus per-class widths)
+    p.add_argument("--bits", type=int, default=8,
+                   help="uniform bit-width (32 = fp32 passthrough)")
+    p.add_argument("--bits_w", type=int, default=None)
+    p.add_argument("--bits_a", type=int, default=None)
+    p.add_argument("--bits_g", type=int, default=None)
+    p.add_argument("--engine", type=str, default="int8",
+                   choices=["sim", "int8", "pallas"])
+    p.add_argument("--target_overflow_rate", type=float, default=0.0)
+    p.add_argument("--deterministic_rounding", action="store_true",
+                   help="round-to-nearest-even instead of stochastic")
+    # faithful-mode quirk toggles (SURVEY.md §7)
+    p.add_argument("--faithful_eval", action="store_true")
+    p.add_argument("--noise_shared_axis0", action="store_true")
+    p.add_argument("--reset_momentum_on_decay", action="store_true")
+    # training (reference defaults, main.py:112-122)
+    p.add_argument("--dropout", type=float, default=0.5,
+                   help="dropout KEEP probability")
+    p.add_argument("--weight_decay", type=float, default=2e-4)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--lr_decay_factor", type=float, default=0.1)
+    p.add_argument("--lr_decay_epochs", type=int, nargs="*",
+                   default=[80, 120, 140])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--n_epoch", type=int, default=160)
+    p.add_argument("--seed", type=int, default=0)
+    # data / scale
+    p.add_argument("--n_train", type=int, default=0)
+    p.add_argument("--n_test", type=int, default=0)
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--checkpoint_every", type=int, default=10)
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    for name in ("bits", "bits_w", "bits_a", "bits_g"):
+        v = getattr(args, name)
+        if v is not None and not (1 <= v <= 32):
+            raise SystemExit(
+                f"--{name} must be in 1..32 (32 = fp32 passthrough), "
+                f"got {v}")
+    # persistent XLA compilation cache: repeated runs skip the multi-minute
+    # compile of the train step
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/lbt_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    exp = args.exp_path or os.path.join(
+        "experiments",
+        datetime.datetime.now().strftime("%m-%d-%H%M%S") + "-" + args.model)
+    os.makedirs(exp, exist_ok=True)
+    logger = get_logger(os.path.join(exp, "experiment.log"))
+    logger.info("Start of experiment: %s",
+                json.dumps(vars(args), sort_keys=True))
+
+    bw = args.bits_w if args.bits_w is not None else args.bits
+    ba = args.bits_a if args.bits_a is not None else args.bits
+    bg = args.bits_g if args.bits_g is not None else args.bits
+    if bw >= 32 and ba >= 32 and bg >= 32:
+        cfg = QuantConfig.fp32()
+    else:
+        cfg = QuantConfig(
+            bits_w=bw, bits_a=ba, bits_b=bw, bits_g=bg,
+            conv_act_extra=0 if ba >= 32 else 1,
+            target_overflow_rate=args.target_overflow_rate,
+            stochastic=not args.deterministic_rounding,
+            noise_shared_axis0=args.noise_shared_axis0,
+            engine=args.engine,
+            faithful_eval=args.faithful_eval,
+        )
+    tc = TrainConfig(
+        lr=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, batch_size=args.batch_size,
+        n_epoch=args.n_epoch, lr_decay_factor=args.lr_decay_factor,
+        lr_decay_epochs=tuple(args.lr_decay_epochs),
+        dropout_keep=args.dropout,
+        reset_momentum_on_decay=args.reset_momentum_on_decay,
+        seed=args.seed,
+        checkpoint_every_epochs=args.checkpoint_every,
+        checkpoint_dir=os.path.join(exp, "ckpt"),
+    )
+
+    model = build_model(args.model, cfg, dropout_keep=args.dropout,
+                        weight_decay=args.weight_decay)
+    ds_name = MODEL_DATASET[args.model]
+    data = load_dataset(ds_name, n_train=args.n_train, n_test=args.n_test)
+    if data["synthetic"]:
+        logger.warning("dataset %s not found locally - SYNTHETIC data",
+                       ds_name)
+    augment = None if args.no_augment else make_augment(ds_name)
+
+    # Trainer.train() auto-resumes from checkpoint_dir when one exists;
+    # --resume is accepted for explicitness
+    trainer = Trainer(model, tc, data, augment=augment, logger=logger,
+                      logdir=exp)
+    final = trainer.train()
+    logger.info("End of experiment: final test acc %.4f",
+                final["accuracy"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Layer-level parity vs a hand-derived NumPy oracle of the reference
+semantics (deterministic rounding for exactness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+from lbt_tpu.config import QuantConfig
+from lbt_tpu.nn import (
+    AvgPool,
+    BatchNorm,
+    Conv2d,
+    Dense,
+    Dropout,
+    Flatten,
+    GradientBuffer,
+    MaxPool,
+    ReLU,
+    ResidualBlock,
+    ResidualBottleneck,
+)
+from lbt_tpu.nn.core import Ctx, finalize, make_sinks
+
+DET = dict(stochastic=False)
+
+
+def _setup(layer):
+    finalize(layer)
+    params, qstate = layer.init(jax.random.key(0))
+    sinks = make_sinks(layer)
+    return params, qstate, sinks
+
+
+def test_dense_forward_matches_oracle():
+    cfg = QuantConfig.uniform(8, **DET)
+    layer = Dense("d", cfg, 12, 7)
+    params, qstate, sinks = _setup(layer)
+    x = np.random.default_rng(0).normal(0, 2, (5, 12)).astype(np.float32)
+
+    y, _ = jax.jit(
+        lambda p, q, s, x: layer.apply(p, q, s, x, Ctx(False, None))
+    )(params, qstate, sinks, x)
+
+    W = np.asarray(params["W"])
+    b = np.asarray(params["b"])
+    want = (oracle.quantize(x, 8, 2) @ oracle.quantize(W, 8, 2)
+            + oracle.quantize(b, 8, 2))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-6, atol=1e-6)
+
+
+def test_dense_backward_matches_oracle():
+    """dW = Xq^T @ gq, db = sum(gq), dX = gq @ Wq^T with gq the
+    once-quantized output cotangent (reference
+    dynamic_fixed_point.py:441-460)."""
+    cfg = QuantConfig.uniform(8, **DET)
+    layer = Dense("d", cfg, 6, 4)
+    params, qstate, sinks = _setup(layer)
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 2, (3, 6)).astype(np.float32)
+    g = rng.normal(0, 1, (3, 4)).astype(np.float32)
+
+    def f(p, s, x):
+        y, _ = layer.apply(p, qstate, s, x, Ctx(True, jax.random.key(0),
+                                                update=False))
+        return jnp.vdot(y, g)
+
+    gp, gs, dx = jax.grad(f, argnums=(0, 1, 2))(params, sinks, x)
+
+    W = np.asarray(params["W"])
+    Xq = oracle.quantize(x, 8, 2)
+    Wq = oracle.quantize(W, 8, 2)
+    gq = oracle.quantize(g, 8, 2)
+    np.testing.assert_allclose(np.asarray(gp["W"]), Xq.T @ gq, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp["b"]), gq.sum(0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx), gq @ Wq.T, atol=1e-5)
+    # sink cotangent = overflow stats of the float cotangent g
+    ovf, ovf2 = oracle.overflow_rates(g, 8, 2)
+    np.testing.assert_allclose(np.asarray(gs["grad"]), [ovf, ovf2],
+                               atol=1e-7)
+
+
+def test_dense_exponent_controller_updates():
+    cfg = QuantConfig.uniform(8, **DET)
+    layer = Dense("d", cfg, 4, 4)
+    params, qstate, sinks = _setup(layer)
+    # huge inputs overflow at exp=2 -> x exponent widens
+    x = np.full((2, 4), 100.0, np.float32)
+    _, q1 = layer.apply(params, qstate, sinks, x, Ctx(True, jax.random.key(0)))
+    assert int(q1["exp"]["x"]) == 3
+    # tiny inputs -> tighten
+    x = np.full((2, 4), 1e-4, np.float32)
+    _, q2 = layer.apply(params, qstate, sinks, x, Ctx(True, jax.random.key(0)))
+    assert int(q2["exp"]["x"]) == 1
+    # eval: no update
+    _, q3 = layer.apply(params, qstate, sinks, x, Ctx(False, None))
+    assert int(q3["exp"]["x"]) == 2
+
+
+def test_conv_forward_matches_oracle_via_lax():
+    cfg = QuantConfig.uniform(8, **DET)  # conv acts at 9 bits
+    layer = Conv2d("c", cfg, (3, 3, 2, 4), (1, 1), "SAME")
+    params, qstate, sinks = _setup(layer)
+    x = np.random.default_rng(2).normal(0, 1.5, (2, 8, 8, 2)).astype(
+        np.float32)
+    y, _ = layer.apply(params, qstate, sinks, x, Ctx(False, None))
+
+    from jax import lax
+    xq = oracle.quantize(x, 9, 2)
+    wq = oracle.quantize(np.asarray(params["W"]), 8, 2)
+    bq = oracle.quantize(np.asarray(params["b"]), 8, 2)
+    want = lax.conv_general_dilated(
+        xq, wq, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = np.asarray(want) + bq
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-5)
+
+
+def test_batchnorm_train_and_eval():
+    cfg = QuantConfig.uniform(8, **DET)
+    bn = BatchNorm("bn", cfg, 3)
+    params, qstate, sinks = _setup(bn)
+    x = np.random.default_rng(3).normal(1.0, 0.5, (16, 4, 4, 3)).astype(
+        np.float32)
+    y, q1 = bn.apply(params, qstate, sinks, x, Ctx(True, jax.random.key(0)))
+    y = np.asarray(y)
+    # batch-normalized output ~ zero-mean/unit-var per channel (gamma=1,
+    # beta=0, modulo quantization of the normalized values)
+    assert abs(y.mean()) < 0.1
+    assert abs(y.std() - 1.0) < 0.1
+    # EMA moved toward batch stats
+    m = np.asarray(q1["norm"]["state"]["mean"])
+    assert np.all(m != 0.0)
+    # eval uses running stats (fresh state: mean 0, var 1)
+    y2, q2 = bn.apply(params, qstate, sinks, x, Ctx(False, None))
+    xq = oracle.quantize(x, 8, 2)
+    want = xq / np.sqrt(1.0 + 1e-5)
+    got = np.asarray(y2)
+    # rescale quantizes the normalized value at 8 bits exp 2
+    np.testing.assert_allclose(got, oracle.quantize(want, 8, 2),
+                               atol=1e-5)
+    # eval does not update state
+    np.testing.assert_array_equal(
+        np.asarray(q2["norm"]["state"]["mean"]), 0.0)
+
+
+def test_pools_match_reference_shapes():
+    mp = MaxPool(ksize=(3, 3), strides=(2, 2), padding="SAME")
+    ap = AvgPool(ksize=(8, 8), strides=(1, 1), padding="VALID")
+    finalize(mp), finalize(ap)
+    x = np.random.default_rng(4).normal(size=(2, 32, 32, 3)).astype(
+        np.float32)
+    y, _ = mp.apply({}, {}, {}, x, Ctx(False, None))
+    assert y.shape == (2, 16, 16, 3)
+    x8 = x[:, :8, :8, :]
+    y, _ = ap.apply({}, {}, {}, x8, Ctx(False, None))
+    assert y.shape == (2, 1, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(y)[:, 0, 0, :], x8.mean(axis=(1, 2)), rtol=1e-5)
+
+
+def test_avgpool_same_excludes_padding():
+    ap = AvgPool(ksize=(2, 2), strides=(2, 2), padding="SAME")
+    finalize(ap)
+    x = np.ones((1, 3, 3, 1), np.float32)
+    y, _ = ap.apply({}, {}, {}, x, Ctx(False, None))
+    # corner window has 1 valid element -> average stays 1.0
+    np.testing.assert_allclose(np.asarray(y), 1.0)
+
+
+def test_dropout_train_eval():
+    d = Dropout(keep=0.5)
+    finalize(d)
+    x = np.ones((512, 8), np.float32)
+    y, _ = d.apply({}, {}, {}, x, Ctx(True, jax.random.key(0)))
+    y = np.asarray(y)
+    kept = (y != 0).mean()
+    assert 0.4 < kept < 0.6
+    np.testing.assert_allclose(y[y != 0], 2.0)  # inverted scaling
+    y2, _ = d.apply({}, {}, {}, x, Ctx(False, None))
+    np.testing.assert_array_equal(np.asarray(y2), x)
+
+
+def test_gradient_buffer_error_feedback():
+    cfg = QuantConfig.uniform(8, **DET)
+    gb = GradientBuffer("gb", cfg, (4, 8))
+    params, qstate, sinks = _setup(gb)
+    g = np.random.default_rng(5).normal(0, 0.01, (4, 8)).astype(np.float32)
+
+    def f(x, s):
+        y, _ = gb.apply({}, qstate, s, x, Ctx(True, jax.random.key(0)))
+        return jnp.vdot(y, g)
+
+    x = np.zeros((4, 8), np.float32)
+    dx, ds = jax.grad(f, argnums=(0, 1))(x, sinks)
+    gq = oracle.quantize(g, 8, 2)
+    np.testing.assert_allclose(np.asarray(dx), gq, atol=1e-6)
+    # buffer received the quantization residual
+    np.testing.assert_allclose(np.asarray(ds["buffer"]), g - gq, atol=1e-6)
+    # absorbing the sinks installs the buffer + steps the grad exponent
+    q2 = gb.absorb_sinks(qstate, ds)
+    np.testing.assert_allclose(np.asarray(q2["state"]["buffer"]), g - gq,
+                               atol=1e-6)
+
+
+def test_residual_block_shapes_and_shortcut():
+    cfg = QuantConfig.uniform(8, **DET)
+    b1 = ResidualBlock("b1", cfg, 16, 16, stride=1)
+    assert len(b1.shortcut.layers) == 0  # identity shortcut
+    b2 = ResidualBlock("b2", cfg, 16, 32, stride=2)
+    assert len(b2.shortcut.layers) == 2  # 1x1 conv + bn
+    finalize(b2)
+    params, qstate = b2.init(jax.random.key(0))
+    sinks = make_sinks(b2)
+    x = np.random.default_rng(6).normal(size=(2, 8, 8, 16)).astype(
+        np.float32)
+    y, _ = b2.apply(params, qstate, sinks, x, Ctx(True, jax.random.key(1)))
+    assert y.shape == (2, 4, 4, 32)
+    assert np.all(np.asarray(y) >= 0)  # final relu
+
+
+def test_bottleneck_expansion():
+    cfg = QuantConfig.uniform(8, **DET)
+    b = ResidualBottleneck("b", cfg, 64, 64, stride=2)
+    finalize(b)
+    params, qstate = b.init(jax.random.key(0))
+    sinks = make_sinks(b)
+    x = np.random.default_rng(7).normal(size=(2, 8, 8, 64)).astype(
+        np.float32)
+    y, _ = b.apply(params, qstate, sinks, x, Ctx(True, jax.random.key(1)))
+    assert y.shape == (2, 4, 4, 256)

@@ -1,0 +1,86 @@
+"""Pallas kernels vs the lax reference path (interpret mode on CPU,
+compiled on TPU; SURVEY.md §4 kernel-test strategy)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbt_tpu.dfxp.quantize import quantize_int
+
+_interpret = jax.devices()[0].platform != "tpu"
+
+
+@pytest.fixture(autouse=True)
+def _force_interpret(monkeypatch):
+    if _interpret:
+        ctx = pltpu.force_tpu_interpret_mode()
+        ctx.__enter__()
+        yield
+        ctx.__exit__(None, None, None)
+    else:
+        yield
+
+
+def test_quantize_pallas_deterministic_matches_reference():
+    from lbt_tpu.ops.pallas import quantize_pallas
+    x = np.random.default_rng(0).normal(0, 2, (33, 70)).astype(np.float32)
+    codes, mult = quantize_pallas(x, 8, jnp.int32(2), stochastic=False)
+    ref_codes, ref_mult = quantize_int(x, 8, jnp.int32(2))
+    assert codes.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(codes, np.int32), np.asarray(ref_codes))
+    assert float(mult) == float(ref_mult)
+
+
+@pytest.mark.skipif(
+    _interpret,
+    reason="interpret mode stubs pltpu.prng_random_bits to zeros")
+def test_quantize_pallas_stochastic_statistics():
+    from lbt_tpu.ops.pallas import quantize_pallas
+    x = np.full((256, 128), 0.33, np.float32)
+    codes, mult = quantize_pallas(
+        x, 8, jnp.int32(2), seed=jnp.int32(7), stochastic=True)
+    vals = np.asarray(codes, np.float32) / float(mult)
+    # stochastic rounding between the two neighboring grid points
+    grid = np.unique(vals)
+    assert len(grid) <= 2
+    assert abs(vals.mean() - 0.33) < 2e-3
+    # deterministic under the same seed
+    codes2, _ = quantize_pallas(
+        x, 8, jnp.int32(2), seed=jnp.int32(7), stochastic=True)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+
+
+def test_qmatmul_pallas_matches_int8_reference():
+    from lbt_tpu.ops.pallas import qmatmul_pallas
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1.5, (130, 100)).astype(np.float32)
+    w = rng.normal(0, 0.5, (100, 70)).astype(np.float32)
+    y = qmatmul_pallas(x, w, jnp.int32(2), jnp.int32(1),
+                       bits_x=8, bits_w=8)
+    xc, mx = quantize_int(x, 8, jnp.int32(2))
+    wc, mw = quantize_int(w, 8, jnp.int32(1))
+    want = (xc.astype(np.float32) @ wc.astype(np.float32)) / (
+        float(mx) * float(mw))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_qmatmul_pallas_aligned_shapes():
+    from lbt_tpu.ops.pallas import qmatmul_pallas
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (256, 256)).astype(np.float32)
+    w = rng.normal(0, 1, (256, 256)).astype(np.float32)
+    y = qmatmul_pallas(x, w, jnp.int32(3), jnp.int32(3),
+                       bits_x=8, bits_w=8)
+    xc, mx = quantize_int(x, 8, jnp.int32(3))
+    wc, mw = quantize_int(w, 8, jnp.int32(3))
+    want = (xc.astype(np.float32) @ wc.astype(np.float32)) / (
+        float(mx) * float(mw))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-6, atol=1e-5)

@@ -1,0 +1,181 @@
+"""Distributed correctness on a simulated 8-device CPU mesh
+(SURVEY.md §4: DP-sharded step vs single-device step, low-bit all-reduce
+with error feedback, GSPMD tp sharding)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lbt_tpu.config import QuantConfig, TrainConfig
+from lbt_tpu.nn import Dense, ReLU
+from lbt_tpu.nn.model import Model
+from lbt_tpu.parallel.dp import make_dp_train_step
+from lbt_tpu.parallel.lowbit import init_error_buffers, lowbit_allreduce
+from lbt_tpu.parallel.mesh import make_mesh, param_pspecs, to_shardings
+from lbt_tpu.train.optim import momentum_init
+from lbt_tpu.train.step import make_train_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _toy_model(engine="int8", stochastic=False):
+    cfg = QuantConfig.uniform(8, engine=engine, stochastic=stochastic)
+    return Model("toy", [
+        Dense("d1", cfg, 20, 64),
+        ReLU(),
+        Dense("d2", cfg, 64, 4),
+    ], input_shape=(20,), num_classes=4, cfg=cfg)
+
+
+def _data(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, (n, 20)).astype(np.float32)
+    y = rng.integers(0, 4, n).astype(np.int32)
+    return x, y
+
+
+def test_dp_step_matches_single_device():
+    model = _toy_model(stochastic=False)
+    tc = TrainConfig(lr=0.05, batch_size=64)
+    mesh = make_mesh(data=8, model=1)
+
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    x, y = _data()
+
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+    single = make_train_step(model, tc)
+    p1, q1, v1 = copy(params), copy(qstate), copy(vel)
+    for i in range(3):
+        p1, q1, v1, m1 = single(p1, q1, v1, x, y, i, jnp.float32(0.05),
+                                jax.random.key(9))
+
+    dp = make_dp_train_step(model, tc, mesh, lowbit_bits=None)
+    ebuf = init_error_buffers(params)
+    p2, q2, v2 = copy(params), copy(qstate), copy(vel)
+    for i in range(3):
+        p2, q2, v2, ebuf, m2 = dp(p2, q2, v2, ebuf, x, y,
+                                  jnp.int32(i), jnp.float32(0.05),
+                                  jax.random.key(9))
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(q1), jax.tree.leaves(q2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+
+
+def test_dp_lowbit_step_trains():
+    model = _toy_model(stochastic=False)
+    tc = TrainConfig(lr=0.05, batch_size=64)
+    mesh = make_mesh(data=8, model=1)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    ebuf = init_error_buffers(params)
+    x, y = _data(512)
+    dp = make_dp_train_step(model, tc, mesh, lowbit_bits=8)
+    losses = []
+    for i in range(80):
+        s = slice((i * 64) % 512, (i * 64) % 512 + 64)
+        params, qstate, vel, ebuf, m = dp(
+            params, qstate, vel, ebuf, x[s], y[s],
+            jnp.int32(i), jnp.float32(0.05), jax.random.key(1))
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-8:]) < losses[0] * 0.7, losses[::16]
+    # error buffers are live (non-zero residuals)
+    assert any(float(jnp.max(jnp.abs(b))) > 0
+               for b in jax.tree.leaves(ebuf))
+
+
+def test_lowbit_allreduce_unbiased_over_time():
+    """Error feedback: the *running sum* of quantized means converges to
+    the running sum of true means (the residual never exceeds one grid
+    step per leaf)."""
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(0)
+    shard_grads = rng.normal(0, 1e-3, (8, 16)).astype(np.float32)
+    true_mean = shard_grads.mean(axis=0)
+
+    def step(g, buf):
+        mean, res = lowbit_allreduce({"w": g}, {"w": buf}, "data", bits=8, reduce="mean")
+        return mean["w"], res["w"]
+
+    f = jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P(), P("data")), check_vma=False))
+
+    buf = jnp.zeros((8, 16), jnp.float32)  # per-shard buffers
+    acc = np.zeros(16, np.float64)
+    g_dev = jnp.asarray(shard_grads)
+    for t in range(50):
+        mean, buf = f(g_dev, buf)
+        acc += np.asarray(mean).reshape(-1)[:16]
+    # cumulative drift stays bounded by ~one quantization step, so the
+    # time-averaged gradient is unbiased
+    drift = np.abs(acc / 50 - true_mean).max()
+    naive = np.abs(np.asarray(mean).reshape(-1)[:16] - true_mean).max()
+    assert drift < 2e-5, (drift, naive)
+
+
+def test_lowbit_allreduce_exact_for_grid_values():
+    mesh = make_mesh(data=8, model=1)
+    # all-shards-equal powers of two are exactly representable
+    g = jnp.broadcast_to(
+        jnp.array([0.5, -0.25, 0.125, 0.0], jnp.float32), (8, 4))
+
+    def step(g, buf):
+        mean, res = lowbit_allreduce({"w": g}, {"w": buf}, "data", bits=8, reduce="mean")
+        return mean["w"], res["w"]
+
+    f = jax.shard_map(step, mesh=mesh, in_specs=(P("data"), P("data")),
+                      out_specs=(P(), P("data")), check_vma=False)
+    mean, res = f(g, jnp.zeros((8, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(mean).reshape(-1), np.asarray(g)[0])
+    np.testing.assert_array_equal(np.asarray(res), 0.0)
+
+
+def test_tp_sharded_jit_step_runs():
+    """GSPMD: weights sharded over 'model', batch over 'data'."""
+    model = _toy_model(stochastic=False)
+    # make d2 large enough to trigger the tp sharding rule
+    cfg = model.cfg
+    model = Model("toy", [
+        Dense("d1", cfg, 20, 256),
+        ReLU(),
+        Dense("d2", cfg, 256, 128),
+        ReLU(),
+        Dense("d3", cfg, 128, 4),
+    ], input_shape=(20,), num_classes=4, cfg=cfg)
+    tc = TrainConfig(lr=0.05, batch_size=32)
+    mesh = make_mesh(data=4, model=2)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    pspecs = param_pspecs(params)
+    # at least one leaf must actually be model-sharded
+    assert any("model" in str(s) for s in jax.tree.leaves(
+        pspecs, is_leaf=lambda s: isinstance(s, P)))
+    sh = to_shardings(mesh, pspecs)
+    params = jax.device_put(params, sh)
+    vel = jax.device_put(vel, sh)
+    qstate = jax.device_put(qstate, NamedSharding(mesh, P()))
+    x, y = _data(32)
+    x = jax.device_put(x, NamedSharding(mesh, P("data")))
+    step = jax.jit(make_train_step(model, tc, jit=False))
+    p, q, v, m = step(params, qstate, vel, x, jnp.asarray(y),
+                      jnp.int32(0), jnp.float32(0.05), jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    logits = jax.jit(fn)(*args)
+    assert logits.shape[-1] == 10
+    ge.dryrun_multichip(8)

@@ -1,0 +1,147 @@
+"""Golden tests for the DFXP quantizer core vs the NumPy oracle
+(reference semantics, /root/reference/dynamic_fixed_point.py:4-94)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from lbt_tpu.dfxp import (
+    overflow_rates,
+    quantize,
+    quantize_int,
+    quantize_ste,
+    update_exponent,
+)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8, 9, 16])
+@pytest.mark.parametrize("exp", [-3, 0, 2, 7])
+def test_quantize_matches_oracle(bits, exp):
+    if exp > bits - 1:
+        pytest.skip("exponent above reference clamp")
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 2.0, (64, 17)).astype(np.float32)
+    got = np.asarray(quantize(x, bits, jnp.int32(exp)))
+    want = oracle.quantize(x, bits, exp)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bits32_passthrough():
+    x = np.random.default_rng(1).normal(size=(10, 3)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(quantize(x, 32, jnp.int32(2))), x)
+
+
+def test_clip_boundaries():
+    # 8 bits, exp 2: mult = 2**5 = 32, codes in [-128, 127]
+    x = np.array([-100.0, -4.0, 3.96875, 3.97, 100.0], np.float32)
+    got = np.asarray(quantize(x, 8, jnp.int32(2)))
+    assert got[0] == -4.0          # clipped to -128/32
+    assert got[1] == -4.0
+    assert got[2] == 3.96875       # 127/32, exactly representable
+    assert got[3] == 3.96875       # clipped to 127/32
+    assert got[4] == 3.96875
+
+
+def test_round_half_even():
+    # codes at half-grid points round to even, as tf.round/np.round do
+    x = np.array([0.5, 1.5, 2.5, -0.5, -1.5], np.float32)
+    got = np.asarray(quantize(x, 8, jnp.int32(7)))  # mult = 1
+    np.testing.assert_array_equal(got, [0.0, 2.0, 2.0, -0.0, -2.0])
+
+
+def test_negative_exponent_subunit_range():
+    # exp can go negative: range shrinks below 1 (no lower clamp in the
+    # reference, dynamic_fixed_point.py:94)
+    x = np.array([0.1, 0.26, -0.3], np.float32)
+    got = np.asarray(quantize(x, 4, jnp.int32(-2)))
+    want = oracle.quantize(x, 4, -2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quantize_int_codes():
+    x = np.array([0.99, -1.0, 0.03125], np.float32)
+    codes, mult = quantize_int(x, 8, jnp.int32(2))
+    assert float(mult) == 32.0
+    np.testing.assert_array_equal(np.asarray(codes), [32, -32, 1])
+
+
+def test_stochastic_unbiased_and_deterministic_under_key():
+    x = np.full((2048, 16), 0.33, np.float32)
+    key = jax.random.key(3)
+    q1 = np.asarray(quantize(x, 8, jnp.int32(2), key, stochastic=True))
+    q2 = np.asarray(quantize(x, 8, jnp.int32(2), key, stochastic=True))
+    np.testing.assert_array_equal(q1, q2)  # same key -> same result
+    # E[q(x)] ~= x
+    assert abs(q1.mean() - 0.33) < 2e-3
+    # values lie on the grid
+    assert np.all(np.abs(np.round(q1 * 32) - q1 * 32) < 1e-6)
+
+
+def test_stochastic_matches_oracle_given_noise():
+    # jax and oracle agree when fed identical noise
+    x = np.random.default_rng(5).normal(0, 2, (32, 8)).astype(np.float32)
+    key = jax.random.key(9)
+    u = np.asarray(jax.random.uniform(key, x.shape, jnp.float32))
+    want = oracle.quantize_stochastic(x, 8, 2, u)
+    # reproduce what quantize() does internally with the same key
+    got = np.asarray(quantize(x, 8, jnp.int32(2), key, stochastic=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_noise_shared_axis0():
+    # reference quirk: noise drawn with shape x.shape[1:] (reference
+    # dynamic_fixed_point.py:36) -> same noise for every row
+    x = np.tile(np.random.default_rng(6).normal(0, 1, (1, 64)), (4, 1))
+    x = x.astype(np.float32)
+    got = np.asarray(
+        quantize(x, 8, jnp.int32(2), jax.random.key(0), stochastic=True,
+                 noise_shared_axis0=True))
+    for i in range(1, 4):
+        np.testing.assert_array_equal(got[0], got[i])
+
+
+def test_ste_gradient_identity():
+    x = jnp.linspace(-5, 5, 31)
+
+    def f(x):
+        return jnp.sum(quantize_ste(x, 8, jnp.int32(2)) * 3.0)
+
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), 3.0)
+
+
+def test_overflow_rates_match_oracle():
+    rng = np.random.default_rng(7)
+    for exp in (-1, 0, 2, 5):
+        x = rng.normal(0, 3.0, (256,)).astype(np.float32)
+        got = np.asarray(overflow_rates(x, 8, jnp.int32(exp)))
+        want = oracle.overflow_rates(x, 8, exp)
+        np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_controller_truth_table():
+    # widen on any overflow; tighten only if halving is lossless; else hold
+    cases = [
+        ((0.1, 0.5), +1),   # overflow > 0 -> widen
+        ((0.0, 0.0), -1),   # no overflow even at half range -> tighten
+        ((0.0, 0.2), 0),    # would overflow at half range -> hold
+    ]
+    for (ovf, ovf2), delta in cases:
+        new = update_exponent(
+            jnp.int32(3), jnp.array([ovf, ovf2], jnp.float32), 8, 0.0)
+        assert int(new) == 3 + delta, (ovf, ovf2)
+
+
+def test_controller_upper_clamp():
+    new = update_exponent(
+        jnp.int32(7), jnp.array([1.0, 1.0], jnp.float32), 8, 0.0)
+    assert int(new) == 7  # bits-1 clamp (reference :94)
+
+
+def test_controller_target_rate():
+    rates = jnp.array([0.02, 0.05], jnp.float32)
+    assert int(update_exponent(jnp.int32(0), rates, 8, 0.1)) == -1
+    assert int(update_exponent(jnp.int32(0), rates, 8, 0.03)) == 0
+    assert int(update_exponent(jnp.int32(0), rates, 8, 0.01)) == 1

@@ -1,0 +1,161 @@
+"""End-to-end training: jitted step semantics, engine equivalence,
+convergence on a learnable task, checkpoints (SURVEY.md §4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbt_tpu.config import QuantConfig, TrainConfig
+from lbt_tpu.data.datasets import load_dataset, make_augment
+from lbt_tpu.models import build_model
+from lbt_tpu.train.optim import momentum_init, momentum_update, piecewise_lr
+from lbt_tpu.train.step import make_eval_step, make_train_step
+from lbt_tpu.train.trainer import Trainer
+
+
+def _data(n=256, d=20, classes=4, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0, 1, (d, classes)).astype(np.float32)
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    y = np.argmax(x @ w, axis=1).astype(np.int32)
+    return x, y
+
+
+def test_momentum_matches_tf_semantics():
+    # v <- m v + g ; w <- w - lr v
+    params = {"w": jnp.array([1.0, 2.0])}
+    vel = momentum_init(params)
+    g = {"w": jnp.array([0.5, -0.5])}
+    p1, v1 = momentum_update(params, vel, g, 0.1, 0.9)
+    np.testing.assert_allclose(np.asarray(v1["w"]), [0.5, -0.5])
+    np.testing.assert_allclose(np.asarray(p1["w"]), [0.95, 2.05])
+    p2, v2 = momentum_update(p1, v1, g, 0.1, 0.9)
+    np.testing.assert_allclose(np.asarray(v2["w"]), [0.95, -0.95])
+    np.testing.assert_allclose(np.asarray(p2["w"]), [0.855, 2.145],
+                               rtol=1e-6)
+
+
+def test_piecewise_lr_schedule():
+    # reference hard-coded decays at 80/120/140 (trainer.py:117-132)
+    assert piecewise_lr(0.01, 0.1, (80, 120, 140), 0) == 0.01
+    assert piecewise_lr(0.01, 0.1, (80, 120, 140), 80) == pytest.approx(1e-3)
+    assert piecewise_lr(0.01, 0.1, (80, 120, 140), 125) == pytest.approx(1e-4)
+    assert piecewise_lr(0.01, 0.1, (80, 120, 140), 159) == pytest.approx(1e-5)
+
+
+@pytest.mark.parametrize("engine", ["sim", "int8"])
+def test_loss_decreases_dense_net(engine):
+    cfg = QuantConfig.uniform(8, engine=engine)
+    from lbt_tpu.nn import Dense, ReLU
+    from lbt_tpu.nn.model import Model
+    model = Model("toy", [
+        Dense("d1", cfg, 20, 64),
+        ReLU(),
+        Dense("d2", cfg, 64, 4),
+    ], input_shape=(20,), num_classes=4, cfg=cfg)
+
+    tc = TrainConfig(lr=0.05, batch_size=64)
+    step_fn = make_train_step(model, tc)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    x, y = _data()
+    losses = []
+    for i in range(60):
+        sel = slice((i * 64) % 256, (i * 64) % 256 + 64)
+        params, qstate, vel, m = step_fn(
+            params, qstate, vel, x[sel], y[sel], i, jnp.float32(0.05),
+            jax.random.key(1))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert float(m["accuracy"]) > 0.55
+
+
+def test_grad_exponents_adapt_during_training():
+    cfg = QuantConfig.uniform(8)
+    from lbt_tpu.nn import Dense
+    from lbt_tpu.nn.model import Model
+    model = Model("toy", [Dense("d1", cfg, 20, 4)],
+                  input_shape=(20,), num_classes=4, cfg=cfg)
+    tc = TrainConfig(lr=0.01, batch_size=64)
+    step_fn = make_train_step(model, tc)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    x, y = _data()
+    e0 = int(qstate["d1"]["exp"]["grad"])
+    for i in range(10):
+        params, qstate, vel, m = step_fn(
+            params, qstate, vel, x[:64], y[:64], i, jnp.float32(0.01),
+            jax.random.key(1))
+    e1 = int(qstate["d1"]["exp"]["grad"])
+    # softmax-CE cotangents are O(1/batch) -> controller must tighten
+    assert e1 < e0, (e0, e1)
+
+
+def test_lenet_short_training_loss_decreases():
+    """BASELINE config 1: tiny CPU-runnable LeNet/MNIST DFP-INT8 slice."""
+    cfg = QuantConfig.uniform(8, engine="int8")
+    model = build_model("MNIST", cfg)
+    tc = TrainConfig(lr=0.02, batch_size=32, n_epoch=1, log_every=1000)
+    data = load_dataset("mnist", n_train=512, n_test=256)
+    trainer = Trainer(model, tc, data)
+    l0 = trainer.evaluate()["loss"]
+    trainer.train_epoch(0)
+    ev = trainer.evaluate()
+    assert ev["loss"] < l0, (l0, ev)
+
+
+def test_eval_step_deterministic_without_stochastic():
+    cfg = QuantConfig.uniform(8, stochastic=False)
+    model = build_model("PI_MNIST", cfg)
+    params, qstate = model.init(jax.random.key(0))
+    ev = make_eval_step(model)
+    x = np.random.default_rng(0).normal(size=(8, 784)).astype(np.float32)
+    y = np.zeros(8, np.int32)
+    m1 = ev(params, qstate, x, y, jax.random.key(1))
+    m2 = ev(params, qstate, x, y, jax.random.key(2))
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = QuantConfig.uniform(8)
+    model = build_model("PI_MNIST", cfg)
+    tc = TrainConfig(batch_size=32, n_epoch=1,
+                     checkpoint_dir=str(tmp_path / "ckpt"))
+    data = load_dataset("pi_mnist", n_train=128, n_test=64)
+    tr = Trainer(model, tc, data)
+    tr.train_epoch(0)
+    tr.epoch = 1
+    tr.save()
+
+    tr2 = Trainer(model, tc, data)
+    assert tr2.maybe_restore()
+    assert tr2.epoch == 1
+    assert tr2.step == tr.step
+    a = jax.tree.leaves(tr.params)
+    b = jax.tree.leaves(tr2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(tr.qstate),
+                    jax.tree.leaves(tr2.qstate)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_augmentation_shapes_and_content():
+    aug = make_augment("cifar10")
+    x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(
+        np.float32)
+    y = jax.jit(aug)(jax.random.key(0), x)
+    assert y.shape == x.shape
+    # padding introduces zeros at some crops; values subset of padded orig
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_synthetic_dataset_is_learnable():
+    data = load_dataset("mnist", n_train=512, n_test=128)
+    assert data["synthetic"] in (True, False)
+    xtr, ytr = data["train"]
+    assert xtr.shape == (512, 28, 28, 1)
+    assert set(np.unique(ytr)) <= set(range(10))
