@@ -141,10 +141,22 @@ def _augment_crop_flip(key: jax.Array, x: jax.Array, pad: int) -> jax.Array:
     return jax.vmap(crop)(xp, oh, ow)
 
 
+# flip + pad-crop parameters per dataset (reference trainer.py:24-28 uses
+# pad 4 for CIFAR); None = no augmentation
+AUG_SPECS = {
+    "cifar10": {"pad": 4, "flip": True},
+    "cifar100": {"pad": 4, "flip": True},
+    "imagenet": {"pad": 16, "flip": True},
+}
+
+
+def aug_spec(dataset: str):
+    return AUG_SPECS.get(dataset)
+
+
 def make_augment(dataset: str):
-    """Augmentation fn (key, x) -> x for a dataset, or None."""
-    if dataset in ("cifar10", "cifar100"):
-        return functools.partial(_augment_crop_flip, pad=4)
-    if dataset == "imagenet":
-        return functools.partial(_augment_crop_flip, pad=16)
-    return None
+    """On-device augmentation fn (key, x) -> x for a dataset, or None."""
+    spec = AUG_SPECS.get(dataset)
+    if spec is None:
+        return None
+    return functools.partial(_augment_crop_flip, pad=spec["pad"])

@@ -19,6 +19,7 @@ from lbt_tpu.nn.layers import (
     Dense,
     Dropout,
     Flatten,
+    GradientBuffer,
     MaxPool,
     ReLU,
 )
@@ -143,16 +144,28 @@ def _res_stage(cfg, name, block_cls, cin, channels, num_blocks, stride,
 
 def cifar10_resnet(cfg: QuantConfig, depth: int = 20,
                    dropout_keep: float = 0.5, weight_decay: float = 0.0,
-                   num_classes: int = 10) -> Model:
+                   num_classes: int = 10,
+                   gradient_buffer_batch: int = 0) -> Model:
     """CIFAR ResNet-{20,32,44,56} (reference CIFAR10_Resnet,
     models.py:371-470): 3x3x16 bias-free stem + BN + ReLU, three stages of
     basic blocks at 16/32/64 channels (strides 1/2/2), 8x8 avgpool, and a
-    bias-free 64->num_classes head."""
+    bias-free 64->num_classes head.
+
+    ``gradient_buffer_batch > 0`` inserts error-feedback GradientBuffer
+    layers at the reference's (commented-out) sites — after the stem conv
+    and after the softmax dense (reference models.py:407-411,438-442) —
+    sized for that fixed batch size (use drop-remainder batches)."""
     assert (depth - 2) % 6 == 0, f"bad CIFAR resnet depth {depth}"
     n = (depth - 2) // 6
+    gb = gradient_buffer_batch
     layers = [
         Conv2d("conv1", cfg, (3, 3, 3, 16), (1, 1), "SAME",
                use_bias=False, weight_decay=weight_decay),
+    ]
+    if gb:
+        layers.append(GradientBuffer("grad-buffer-stem", cfg,
+                                     (gb, 32, 32, 16)))
+    layers += [
         BatchNorm("conv1-bn", cfg, 16, weight_decay=weight_decay),
         ReLU(),
     ]
@@ -169,6 +182,9 @@ def cifar10_resnet(cfg: QuantConfig, depth: int = 20,
         Dense("softmax", cfg, 64, num_classes, use_bias=False,
               weight_decay=weight_decay),
     ]
+    if gb:
+        layers.append(GradientBuffer("grad-buffer-head", cfg,
+                                     (gb, num_classes)))
     return Model(f"cifar10_resnet{depth}", layers,
                  input_shape=(32, 32, 3), num_classes=num_classes, cfg=cfg)
 

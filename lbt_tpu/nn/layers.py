@@ -384,7 +384,9 @@ class GradientBuffer(Layer):
 
     def apply(self, params, qstate, sinks, x, ctx):
         cfg = self.cfg
-        if cfg.bits_g >= 32:
+        if cfg.bits_g >= 32 or not ctx.train:
+            # identity outside training: the buffer only participates in
+            # the backward pass, and eval batches may have other shapes
             return x, qstate
         assert x.shape == self.shape, \
             f"GradientBuffer expects shape {self.shape}, got {x.shape}"

@@ -9,7 +9,7 @@ periodic checkpoints with resume, JSONL/TensorBoard metrics.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +33,34 @@ class Trainer:
         augment: Optional[Callable] = None,
         logger=None,
         logdir: Optional[str] = None,
+        profile_steps: int = 0,
+        native_loader: bool = False,
+        aug_spec: Optional[Dict] = None,
     ):
         self.model = model
         self.tc = tc
         self.dataset = dataset
         self.augment = jax.jit(augment) if augment is not None else None
+        self.native = None
+        if native_loader:
+            # C++ input pipeline: shuffle + augmentation on host threads,
+            # one batch of lookahead (native/loader.cc)
+            from lbt_tpu.data.native import NativeLoader
+            if not NativeLoader.available():
+                raise RuntimeError(
+                    "native loader requested but could not be built")
+            spec = aug_spec or {}
+            xtr, ytr = dataset["train"]
+            self.native = NativeLoader(
+                xtr, ytr, tc.batch_size, pad=spec.get("pad", 0),
+                flip=spec.get("flip", False), seed=tc.seed)
+            self.augment = None  # augmentation now happens in C++
         self.logger = logger or get_logger(
             f"{logdir}/experiment.log" if logdir else None)
         self.metrics = MetricsWriter(logdir)
+        from lbt_tpu.utils.profiling import StepProfiler
+        self.profiler = StepProfiler(
+            f"{logdir}/profile" if logdir else None, profile_steps)
 
         self.train_step = make_train_step(model, tc)
         faithful = bool(model.cfg and model.cfg.faithful_eval)
@@ -109,22 +129,33 @@ class Trainer:
             self.velocity = momentum_init(self.params)
             self.logger.info("Reset momentum slots (faithful mode)")
 
-        xtr, ytr = self.dataset["train"]
-        batches = device_prefetch(
-            batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
-                           epoch=epoch))
+        if self.native is not None:
+            batches = device_prefetch(self.native.epoch(epoch))
+        else:
+            xtr, ytr = self.dataset["train"]
+            batches = device_prefetch(
+                batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
+                               epoch=epoch))
         lr_dev = jnp.float32(lr)
         last = {}
         t0, n_img = time.time(), 0
+        first_step_logged = self.step > 0
         for b, (x, y) in enumerate(batches):
             if self.augment is not None:
                 x = self.augment(
                     jax.random.fold_in(self.data_key, self.step), x)
+            self.profiler.observe(self.step)
             self.params, self.qstate, self.velocity, m = self.train_step(
                 self.params, self.qstate, self.velocity, x, y,
                 self.step, lr_dev, self.base_key)
             self.step += 1
             n_img += len(y)
+            if not first_step_logged:
+                jax.block_until_ready(m)
+                self.logger.info(
+                    "first train step (compile + warm-up) took %.1fs",
+                    time.time() - t0)
+                first_step_logged = True
             if (b + 1) % self.tc.log_every == 0:
                 m = jax.device_get(m)
                 rate = n_img / (time.time() - t0)
@@ -133,6 +164,7 @@ class Trainer:
                     epoch, b + 1, m["loss"], m["accuracy"], rate)
                 self.metrics.write(self.step, m, prefix="train/")
                 last = m
+        self.profiler.stop()
         return last
 
     def evaluate(self) -> Dict[str, float]:

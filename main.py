@@ -62,6 +62,15 @@ def parse_args():
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of this many steps")
+    p.add_argument("--native_loader", action="store_true",
+                   help="use the C++ input pipeline (native/loader.cc)")
+    p.add_argument("--log_every", type=int, default=100,
+                   help="log train metrics every N batches")
+    p.add_argument("--gradient_buffer", action="store_true",
+                   help="insert error-feedback GradientBuffers at the "
+                        "reference's ResNet sites")
     return p.parse_args()
 
 
@@ -110,12 +119,19 @@ def main():
         dropout_keep=args.dropout,
         reset_momentum_on_decay=args.reset_momentum_on_decay,
         seed=args.seed,
+        log_every=args.log_every,
         checkpoint_every_epochs=args.checkpoint_every,
         checkpoint_dir=os.path.join(exp, "ckpt"),
     )
 
-    model = build_model(args.model, cfg, dropout_keep=args.dropout,
-                        weight_decay=args.weight_decay)
+    model_kw = dict(dropout_keep=args.dropout,
+                    weight_decay=args.weight_decay)
+    if args.gradient_buffer:
+        if "Resnet" not in args.model or "Imagenet" in args.model:
+            raise SystemExit("--gradient_buffer only supported for the "
+                             "CIFAR10_Resnet* models (reference sites)")
+        model_kw["gradient_buffer_batch"] = args.batch_size
+    model = build_model(args.model, cfg, **model_kw)
     ds_name = MODEL_DATASET[args.model]
     data = load_dataset(ds_name, n_train=args.n_train, n_test=args.n_test)
     if data["synthetic"]:
@@ -125,8 +141,11 @@ def main():
 
     # Trainer.train() auto-resumes from checkpoint_dir when one exists;
     # --resume is accepted for explicitness
+    from lbt_tpu.data.datasets import aug_spec
     trainer = Trainer(model, tc, data, augment=augment, logger=logger,
-                      logdir=exp)
+                      logdir=exp, profile_steps=args.profile_steps,
+                      native_loader=args.native_loader,
+                      aug_spec=aug_spec(ds_name))
     final = trainer.train()
     logger.info("End of experiment: final test acc %.4f",
                 final["accuracy"])

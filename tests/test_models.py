@@ -93,3 +93,33 @@ def test_mixed_bitwidth_int4_weights():
         lambda p, q, s, x, k: model.apply(p, q, s, x, Ctx(False, k))
     )(params, qstate, sinks, x, jax.random.key(1))
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_resnet_gradient_buffer_sites():
+    """Error-feedback GradientBuffers at the reference's commented-out
+    sites (reference models.py:407-411,438-442) are insertable and live."""
+    import jax.numpy as jnp
+    from lbt_tpu.config import TrainConfig
+    from lbt_tpu.models.zoo import cifar10_resnet
+    from lbt_tpu.train.optim import momentum_init
+    from lbt_tpu.train.step import make_train_step
+
+    cfg = QuantConfig.uniform(8)
+    model = cifar10_resnet(cfg, 20, gradient_buffer_batch=8)
+    params, qstate = model.init(jax.random.key(0))
+    assert "grad-buffer-stem" in qstate
+    assert qstate["grad-buffer-stem"]["state"]["buffer"].shape == \
+        (8, 32, 32, 16)
+    vel = momentum_init(params)
+    step = make_train_step(model, TrainConfig(batch_size=8))
+    x = np.random.default_rng(0).normal(
+        0, 1, (8, 32, 32, 3)).astype(np.float32)
+    y = np.zeros(8, np.int32)
+    params, qstate, vel, m = step(params, qstate, vel, x, y, 0,
+                                  jnp.float32(0.01), jax.random.key(1))
+    # backward filled the buffers with quantization residuals
+    assert float(jnp.abs(
+        qstate["grad-buffer-stem"]["state"]["buffer"]).max()) > 0
+    assert float(jnp.abs(
+        qstate["grad-buffer-head"]["state"]["buffer"]).max()) >= 0
+    assert np.isfinite(float(m["loss"]))
