@@ -1,21 +1,38 @@
 """Headline benchmark: DFP-INT8 ResNet-20/CIFAR-10 training throughput
 per chip (BASELINE.md north-star metric).
 
-Runs the full jitted train step (forward + quantized backward +
-controllers + SGD) with the integer-compute engine, and the same recipe
-with the float fake-quant simulation engine (the reference's formulation,
-the "simulated quantization" baseline).  Prints ONE JSON line:
+Measures the full train step (forward + quantized backward + controllers
++ SGD) for the integer-compute engine and for the bf16 fake-quant
+simulation engine (the BASELINE.md "bf16-simulated-quantization"
+baseline).  Prints ONE JSON line:
 
     {"metric": ..., "value": images/sec/chip (int8 engine),
-     "unit": "images/sec/chip", "vs_baseline": int8_ips / sim_ips}
+     "unit": "images/sec/chip", "vs_baseline": int8_ips / bf16sim_ips}
+
+Measurement notes (this environment tunnels a remote TPU):
+* steps run in lax.scan blocks of UNROLL per dispatch — per-call RPC
+  overhead would otherwise dominate ms-scale steps;
+* batches are generated on device inside the jit — the tunnel re-ships
+  array arguments on every call, which would measure the tunnel, not
+  the chip;
+* timing is forced by a device->host readback of the last loss, because
+  ``block_until_ready`` on the experimental axon backend returns before
+  execution completes.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: repeated bench runs skip the multi-minute
+# compiles (large on this tunneled backend)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lbt_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
-import numpy as np
 
 from lbt_tpu.config import QuantConfig, TrainConfig
 from lbt_tpu.models import cifar10_resnet
@@ -23,8 +40,8 @@ from lbt_tpu.train.optim import momentum_init
 from lbt_tpu.train.step import make_train_step
 
 BATCH = 512
-WARMUP = 5
-ITERS = 30
+UNROLL = 20
+REPEATS = 3
 
 
 def measure(engine: str) -> float:
@@ -33,29 +50,41 @@ def measure(engine: str) -> float:
     tc = TrainConfig(batch_size=BATCH)
     params, qstate = model.init(jax.random.key(0))
     velocity = momentum_init(params)
-    step = make_train_step(model, tc)
+    inner = make_train_step(model, tc, jit=False)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(0, 1, (BATCH, 32, 32, 3)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 10, BATCH), jnp.int32)
+    def block(params, qstate, velocity, step0, lr, key):
+        def body(carry, _):
+            params, qstate, velocity, step = carry
+            kd = jax.random.fold_in(key, step)
+            x = jax.random.normal(kd, (BATCH, 32, 32, 3), jnp.float32)
+            y = jax.random.randint(
+                jax.random.fold_in(kd, 1), (BATCH,), 0, 10, jnp.int32)
+            params, qstate, velocity, m = inner(
+                params, qstate, velocity, x, y, step, lr, key)
+            return (params, qstate, velocity, step + 1), m["loss"]
+
+        (params, qstate, velocity, _), losses = jax.lax.scan(
+            body, (params, qstate, velocity, step0), None, length=UNROLL)
+        return params, qstate, velocity, losses
+
+    blockj = jax.jit(block, donate_argnums=(0, 1, 2))
     key = jax.random.key(1)
     lr = jnp.float32(1e-2)
-
-    state = (params, qstate, velocity)
-    for i in range(WARMUP):
-        *state, m = step(*state, x, y, jnp.int32(i), lr, key)
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        *state, m = step(*state, x, y, jnp.int32(WARMUP + i), lr, key)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    st = (params, qstate, velocity)
+    *st, losses = blockj(*st, jnp.int32(0), lr, key)
+    float(losses[-1])  # warm-up + forced completion
+    best = 0.0
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        *st, losses = blockj(*st, jnp.int32((r + 1) * UNROLL), lr, key)
+        float(losses[-1])  # readback barrier
+        best = max(best, BATCH * UNROLL / (time.perf_counter() - t0))
+    return best
 
 
 def main():
     ips_int8 = measure("int8")
-    ips_sim = measure("sim")
+    ips_sim = measure("sim_bf16")
     print(json.dumps({
         "metric": "resnet20_cifar10_dfp_int8_train_throughput",
         "value": round(ips_int8, 1),

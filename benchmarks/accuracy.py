@@ -1,0 +1,95 @@
+"""DFXP-vs-FP32 accuracy-gap measurement (BASELINE.md comparison
+protocol: the reference publishes no numbers, so the gap is established
+by running both configs under identical recipes).
+
+    python benchmarks/accuracy.py --model CIFAR10_Resnet20 --epochs 20 \
+        --n_train 10000
+
+Writes benchmarks/accuracy_<model>.json with the per-config curves.
+Falls back to the synthetic dataset when the real one is not cached
+(this environment has no egress) — gaps on synthetic data are indicative
+only, but the machinery is identical.
+"""
+
+import argparse
+import json
+import os
+
+from lbt_tpu.config import QuantConfig, TrainConfig
+from lbt_tpu.data.datasets import load_dataset, make_augment
+from lbt_tpu.models import build_model
+from lbt_tpu.models.zoo import MODEL_DATASET
+from lbt_tpu.train.trainer import Trainer
+from lbt_tpu.utils.logging import get_logger
+
+
+def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
+        engine: str) -> dict:
+    cfg = (QuantConfig.fp32() if bits >= 32
+           else QuantConfig.uniform(bits, engine=engine))
+    model = build_model(model_name, cfg, weight_decay=tc.weight_decay)
+    trainer = Trainer(model, tc, data, augment=augment,
+                      logger=get_logger())
+    curve = []
+    for epoch in range(tc.n_epoch):
+        trainer.train_epoch(epoch)
+        ev = trainer.evaluate()
+        curve.append({"epoch": epoch + 1, **ev})
+        trainer.epoch += 1
+    return {"bits": bits, "engine": engine, "curve": curve,
+            "final": curve[-1]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="CIFAR10_Resnet20")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--n_train", type=int, default=10000)
+    ap.add_argument("--n_test", type=int, default=2000)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--bits", type=int, nargs="*", default=[8, 32])
+    ap.add_argument("--engine", default="int8")
+    args = ap.parse_args()
+    for b in args.bits:
+        if not 1 <= b <= 32:
+            raise SystemExit(f"--bits entries must be 1..32, got {b}")
+
+    ds = MODEL_DATASET[args.model]
+    data = load_dataset(ds, n_train=args.n_train, n_test=args.n_test)
+    augment = make_augment(ds)
+    tc = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, n_epoch=args.epochs,
+        lr_decay_epochs=(args.epochs // 2, 3 * args.epochs // 4),
+        log_every=10_000,
+    )
+    results = {
+        "model": args.model, "dataset": ds,
+        "synthetic": bool(data["synthetic"]),
+        "recipe": {"epochs": args.epochs, "lr": args.lr,
+                   "batch_size": args.batch_size,
+                   "n_train": args.n_train},
+        "runs": [],
+    }
+    for bits in args.bits:
+        r = run(args.model, bits, tc, data, augment, args.engine)
+        print(f"bits={bits}: final top-1 {r['final']['accuracy']:.4f} "
+              f"loss {r['final']['loss']:.4f}", flush=True)
+        results["runs"].append(r)
+
+    if len(results["runs"]) >= 2:
+        accs = {r["bits"]: r["final"]["accuracy"]
+                for r in results["runs"]}
+        if 32 in accs:
+            for b, a in accs.items():
+                if b != 32:
+                    results[f"gap_bits{b}_vs_fp32"] = accs[32] - a
+    out = os.path.join(os.path.dirname(__file__),
+                       f"accuracy_{args.model}.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,16 @@ class QuantConfig:
     # (reference dynamic_fixed_point.py:36 draws noise of shape X.shape[1:]).
     # Default False = independent noise per element (the sound choice).
     noise_shared_axis0: bool = False
+    # PRNG implementation for stochastic-rounding noise: 'threefry2x32'
+    # (counter-based, fully reproducible across backends) or 'unsafe_rbg'
+    # (the TPU hardware RNG — much cheaper; stream differs per backend).
+    noise_impl: str = "threefry2x32"
+    # Rounding-noise granularity in bits: 24 = float-grade uniforms (the
+    # reference's tf.random_uniform); 8 = four samples packed per PRNG
+    # word (less PRNG arithmetic, bias < 2^-9 of a quantization step —
+    # but the unpack forces TPU relayouts that cost more than threefry
+    # saves on current XLA, so 24 stays the default everywhere).
+    noise_bits: Optional[int] = None
     # Compute engine for quantized matmul/conv:
     #   'sim'  - float fake-quant (quantize->dequantize around float op),
     #            semantics of the reference, fully autodiff-able.
@@ -49,6 +59,8 @@ class QuantConfig:
     #            fused custom_vjp backward also in int8.  Bit-identical to
     #            'sim' for bit-widths <= 8 (<=9 via exact bf16) by
     #            construction; the fast path.
+    #   'sim_bf16' - fake-quant with bf16 contractions (exact for <=9-bit
+    #            grids); the BASELINE.md bf16-simulated-quant baseline.
     #   'pallas' - like 'int8' but with hand-written fused Pallas kernels
     #            for the hot ops.
     engine: str = "int8"
@@ -62,13 +74,19 @@ class QuantConfig:
             b = getattr(self, name)
             if not (1 <= b <= 32):
                 raise ValueError(f"invalid {name}={b}, expected 1..32")
-        if self.engine not in ("sim", "int8", "pallas"):
+        if self.engine not in ("sim", "sim_bf16", "int8", "pallas"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.noise_impl not in ("threefry2x32", "unsafe_rbg"):
+            raise ValueError(f"unknown noise_impl {self.noise_impl!r}")
 
     @property
     def bits_a_conv(self) -> int:
         b = self.bits_a + self.conv_act_extra
         return min(b, 32)
+
+    @property
+    def resolved_noise_bits(self) -> int:
+        return 24 if self.noise_bits is None else self.noise_bits
 
     @classmethod
     def fp32(cls) -> "QuantConfig":

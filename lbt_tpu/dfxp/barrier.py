@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import dtypes
 
-from lbt_tpu.dfxp.quantize import overflow_rates, quantize
+from lbt_tpu.dfxp.quantize import overflow_rates, quantize, wrap_key
 
 SINK_SHAPE = (2,)
 
@@ -42,24 +42,27 @@ def _float0(x) -> np.ndarray:
     return np.zeros(aval.shape, dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
-def _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0, sink):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+def _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
+             noise_bits, sink):
     del exp, keydata, sink
     return x
 
 
-def _barrier_fwd(x, bits, exp, keydata, stochastic, noise_shared_axis0, sink):
+def _barrier_fwd(x, bits, exp, keydata, stochastic, noise_shared_axis0,
+                 noise_bits, sink):
     del sink
     return x, (exp, keydata)
 
 
-def _barrier_bwd(bits, stochastic, noise_shared_axis0, res, g):
+def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, res, g):
     exp, keydata = res
     stats = overflow_rates(g, bits, exp)
-    key = None if keydata is None else jax.random.wrap_key_data(keydata)
+    key = None if keydata is None else wrap_key(keydata)
     gq = quantize(
         g, bits, exp, key,
         stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
+        noise_bits=noise_bits,
     )
     key_cot = None if keydata is None else _float0(keydata)
     return (gq, _float0(exp), key_cot, stats)
@@ -77,10 +80,12 @@ def grad_quant_barrier(
     *,
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
+    noise_bits: int = 24,
 ) -> jax.Array:
     """Identity forward; backward quantizes the cotangent at ``(bits, exp)``
     and emits its overflow stats as the cotangent of ``sink``."""
     if bits >= 32:
         return x
     keydata = None if key is None else jax.random.key_data(key)
-    return _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0, sink)
+    return _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
+                    noise_bits, sink)

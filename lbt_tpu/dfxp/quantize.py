@@ -48,11 +48,45 @@ def multiplier(bits: int, exp: jax.Array) -> jax.Array:
     return jnp.ldexp(jnp.float32(1.0), e)
 
 
-def _noise(key: jax.Array, shape, shared_axis0: bool) -> jax.Array:
+def wrap_key(data: jax.Array) -> jax.Array:
+    """Reconstruct a typed PRNG key from raw key data.
+
+    Keys are plumbed through custom_vjp boundaries as raw uint32 arrays
+    (typed keys can't take float0 cotangents); the impl is recovered from
+    the data width: (2,) -> threefry2x32, (4,) -> unsafe_rbg (the TPU
+    hardware RNG, used for cheap stochastic-rounding noise).
+    """
+    impl = "threefry2x32" if data.shape[-1] == 2 else "unsafe_rbg"
+    return jax.random.wrap_key_data(data, impl=impl)
+
+
+def _noise(key: jax.Array, shape, shared_axis0: bool,
+           noise_bits: int = 24) -> jax.Array:
+    """Uniform [0,1) rounding noise.
+
+    ``noise_bits=24``: float32-grade noise via jax.random.uniform (the
+    reference's tf.random_uniform equivalent).  ``noise_bits=8``: four
+    8-bit noise samples are unpacked from each 32-bit threefry word,
+    quartering the PRNG cost; granularity 1/256 bounds the rounding-
+    probability bias by 2^-9 of one quantization step — negligible
+    against the quantizer's own 8-bit resolution, and a large win since
+    noise generation dominates stochastic DFXP step time.
+    """
     if shared_axis0 and len(shape) >= 1:
-        u = jax.random.uniform(key, shape[1:], jnp.float32)
+        u = _noise(key, tuple(shape[1:]), False, noise_bits)
         return jnp.broadcast_to(u, shape)
-    return jax.random.uniform(key, shape, jnp.float32)
+    if noise_bits >= 16:
+        return jax.random.uniform(key, shape, jnp.float32)
+    n = 1
+    for d in shape:
+        n *= d
+    n_words = -(-n // 4)
+    words = jax.random.bits(key, (n_words,), jnp.uint32)
+    # unpack 4 bytes per word -> (n_words, 4) uint8-valued int32
+    shifts = jnp.array([0, 8, 16, 24], jnp.uint32)
+    bytes_ = ((words[:, None] >> shifts[None, :]) & jnp.uint32(0xFF))
+    u = bytes_.astype(jnp.float32) * jnp.float32(1.0 / 256.0)
+    return u.reshape(-1)[:n].reshape(shape)
 
 
 def quantize_int(
@@ -63,6 +97,7 @@ def quantize_int(
     *,
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
+    noise_bits: int = 24,
 ) -> tuple[jax.Array, jax.Array]:
     """Quantize to integer codes.
 
@@ -77,7 +112,7 @@ def quantize_int(
     if stochastic:
         if key is None:
             raise ValueError("stochastic quantization requires a PRNG key")
-        scaled = scaled + _noise(key, x.shape, noise_shared_axis0)
+        scaled = scaled + _noise(key, x.shape, noise_shared_axis0, noise_bits)
         codes = jnp.floor(jnp.clip(scaled, -limit, limit - 1))
     else:
         codes = jnp.round(jnp.clip(scaled, -limit, limit - 1))
@@ -96,6 +131,7 @@ def quantize(
     *,
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
+    noise_bits: int = 24,
 ) -> jax.Array:
     """Fake-quantize: quantize then dequantize, no STE (not differentiable
     in the STE sense — use :func:`quantize_ste` inside models)."""
@@ -104,6 +140,7 @@ def quantize(
     codes, mult = quantize_int(
         x, bits, exp, key,
         stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
+        noise_bits=noise_bits,
     )
     return dequantize(codes, mult)
 
@@ -117,21 +154,26 @@ def _float0(x) -> np.ndarray:
     return np.zeros(aval.shape, dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
-def _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, keydata):
-    key = None if keydata is None else jax.random.wrap_key_data(keydata)
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
+def _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, noise_bits,
+                  keydata):
+    key = None if keydata is None else wrap_key(keydata)
     return quantize(
         x, bits, exp, key,
         stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
+        noise_bits=noise_bits,
     )
 
 
-def _quantize_ste_fwd(x, bits, exp, stochastic, noise_shared_axis0, keydata):
-    y = _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, keydata)
+def _quantize_ste_fwd(x, bits, exp, stochastic, noise_shared_axis0,
+                      noise_bits, keydata):
+    y = _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0,
+                      noise_bits, keydata)
     return y, (exp, keydata)
 
 
-def _quantize_ste_bwd(bits, stochastic, noise_shared_axis0, res, g):
+def _quantize_ste_bwd(bits, stochastic, noise_shared_axis0, noise_bits,
+                      res, g):
     # STE: cotangent passes through untouched (reference
     # dynamic_fixed_point.py:30,38 `lambda dy: dy`).
     exp, keydata = res
@@ -150,12 +192,14 @@ def quantize_ste(
     *,
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
+    noise_bits: int = 24,
 ) -> jax.Array:
     """Fake-quantize with straight-through gradient (identity backward)."""
     if bits >= 32:
         return x
     keydata = None if key is None else jax.random.key_data(key)
-    return _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, keydata)
+    return _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0,
+                         noise_bits, keydata)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from lbt_tpu.dfxp.quantize import (
     overflow_rates,
     quantize,
     quantize_ste,
+    wrap_key,
 )
 from lbt_tpu.nn.core import Ctx, Layer
 from lbt_tpu.ops.qops import qconv2d, qmatmul
@@ -91,7 +92,8 @@ class Dense(Layer):
             new_exp["w"] = self._ctrl(ctx, params["W"], cfg.bits_w, exp["w"])
 
         kw = dict(stochastic=cfg.stochastic,
-                  noise_shared_axis0=cfg.noise_shared_axis0)
+                  noise_shared_axis0=cfg.noise_shared_axis0,
+                  noise_bits=cfg.resolved_noise_bits)
         y = qmatmul(
             x, params["W"],
             exp.get("x", _E0), exp.get("w", _E0), exp.get("grad", _E0),
@@ -179,7 +181,8 @@ class Conv2d(Layer):
             new_exp["w"] = self._ctrl(ctx, params["W"], cfg.bits_w, exp["w"])
 
         kw = dict(stochastic=cfg.stochastic,
-                  noise_shared_axis0=cfg.noise_shared_axis0)
+                  noise_shared_axis0=cfg.noise_shared_axis0,
+                  noise_bits=cfg.resolved_noise_bits)
         y = qconv2d(
             x, params["W"],
             exp.get("x", _E0), exp.get("w", _E0), exp.get("grad", _E0),
@@ -339,7 +342,7 @@ def _gradbuf_bwd(bits, stochastic, shared, res, g):
     exp, keydata, buffer = res
     total = g + buffer
     stats = overflow_rates(total, bits, exp)
-    key = jax.random.wrap_key_data(keydata) if stochastic else None
+    key = wrap_key(keydata) if stochastic else None
     gq = quantize(total, bits, exp, key,
                   stochastic=stochastic, noise_shared_axis0=shared)
     new_buffer = total - gq

@@ -60,7 +60,8 @@ class Normalization(Layer):
         state = qstate["state"]
         new_exp = dict(exp)
         kw = dict(stochastic=cfg.stochastic,
-                  noise_shared_axis0=cfg.noise_shared_axis0)
+                  noise_shared_axis0=cfg.noise_shared_axis0,
+                  noise_bits=cfg.resolved_noise_bits)
 
         if "x" in exp:
             new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])
@@ -150,7 +151,8 @@ class Rescale(Layer):
         exp = qstate["exp"]
         new_exp = dict(exp)
         kw = dict(stochastic=cfg.stochastic,
-                  noise_shared_axis0=cfg.noise_shared_axis0)
+                  noise_shared_axis0=cfg.noise_shared_axis0,
+                  noise_bits=cfg.resolved_noise_bits)
 
         if "x" in exp:
             new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])

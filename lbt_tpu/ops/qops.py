@@ -38,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import dtypes, lax
 
-from lbt_tpu.dfxp.quantize import multiplier, quantize_int, quantize_ste
+from lbt_tpu.dfxp.quantize import (
+    multiplier, quantize_int, quantize_ste, wrap_key)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -63,10 +64,11 @@ def _code_dtype(*bits: int):
     return None
 
 
-def _codes(x, bits, exp, keydata, stochastic, shared):
-    key = jax.random.wrap_key_data(keydata) if stochastic else None
+def _codes(x, bits, exp, keydata, stochastic, shared, noise_bits=24):
+    key = wrap_key(keydata) if stochastic else None
     return quantize_int(
-        x, bits, exp, key, stochastic=stochastic, noise_shared_axis0=shared
+        x, bits, exp, key, stochastic=stochastic,
+        noise_shared_axis0=shared, noise_bits=noise_bits,
     )
 
 
@@ -95,34 +97,35 @@ _MM = (((1,), (0,)), ((), ()))          # [m,k] @ [k,n]
 _MM_GT = (((1,), (1,)), ((), ()))       # g @ w^T : [m,n],[k,n] -> [m,k]
 _MM_XG = (((0,), (0,)), ((), ()))       # x^T @ g : [m,k],[m,n] -> [k,n]
 
-_QMM_STATIC = (2, 3, 4, 5, 6, 7)  # bits_x, bits_w, bits_g, stoch, shared, gog
+_QMM_STATIC = (2, 3, 4, 5, 6, 7, 8)  # bits_*, stoch, shared, gog, noise_bits
 
 
 @partial(jax.custom_vjp, nondiff_argnums=_QMM_STATIC)
 def _qmatmul_int(
     x, w, bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid,
-    exp_x, exp_w, exp_g, kx, kw,
+    noise_bits, exp_x, exp_w, exp_g, kx, kw,
 ):
     y, _ = _qmatmul_fwd(
         x, w, bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid,
-        exp_x, exp_w, exp_g, kx, kw,
+        noise_bits, exp_x, exp_w, exp_g, kx, kw,
     )
     return y
 
 
 def _qmatmul_fwd(
     x, w, bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid,
-    exp_x, exp_w, exp_g, kx, kw,
+    noise_bits, exp_x, exp_w, exp_g, kx, kw,
 ):
-    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared)
-    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared)
+    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared, noise_bits)
+    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits)
     op_dt, acc_dt = _code_dtype(bits_x, bits_w)
     y = _dot(xc, wc, _MM, op_dt, acc_dt) / (mx * mw)
     return y, (xc, wc, mx, mw, exp_g)
 
 
 def _qmatmul_bwd(
-    bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid, res, g
+    bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid, noise_bits,
+    res, g,
 ):
     xc, wc, mx, mw, exp_g = res
     if grad_on_grid:
@@ -159,19 +162,23 @@ def qmatmul(
     engine: str = "int8",
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
+    noise_bits: int = 24,
     key_x: Optional[jax.Array] = None,
     key_w: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Quantized ``x @ w`` (both operands DFXP-quantized).
 
     ``engine='sim'``: float fake-quant formulation (pure autodiff,
-    reference semantics).  ``engine='int8'``: forward and backward
-    contractions run on integer codes; the backward cotangent is assumed
-    to already lie on the ``(bits_g, exp_g)`` grid (placed there by the
-    layer's ``grad_quant_barrier``).
+    reference semantics; f32 compute).  ``engine='sim_bf16'``: same
+    fake-quant graph with the contraction in bf16 (exact for <=8-bit
+    operand grids; the BASELINE.md "bf16-simulated-quantization"
+    baseline).  ``engine='int8'``: forward and backward contractions run
+    on integer codes; the backward cotangent is assumed to already lie
+    on the ``(bits_g, exp_g)`` grid (placed there by the layer's
+    ``grad_quant_barrier``).
     """
     if (
-        engine == "sim"
+        engine in ("sim", "sim_bf16")
         or bits_x >= 32
         or bits_w >= 32
         or _code_dtype(bits_x, bits_w) is None
@@ -184,11 +191,18 @@ def qmatmul(
             w, bits_w, exp_w, key_w,
             stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
         )
+        if engine == "sim_bf16" and max(bits_x, bits_w) < 32:
+            # fully-bf16 op (output upcast after) so the autodiff
+            # transpose contractions stay dtype-consistent
+            return lax.dot_general(
+                xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16), _MM,
+            ).astype(jnp.float32)
         return lax.dot_general(xq, wq, _MM, preferred_element_type=jnp.float32)
     grad_on_grid = bits_g < 32 and _code_dtype(bits_g, bits_w) is not None
     return _qmatmul_int(
         x, w, bits_x, bits_w, bits_g, stochastic, noise_shared_axis0,
-        grad_on_grid, exp_x, exp_w, exp_g, _keydata(key_x), _keydata(key_w),
+        grad_on_grid, noise_bits, exp_x, exp_w, exp_g,
+        _keydata(key_x), _keydata(key_w),
     )
 
 
@@ -264,27 +278,27 @@ def _dw_conv_params(x_hw, k_hw, strides, pads, y_hw):
     return tuple(new_pads)
 
 
-_QCV_STATIC = (2, 3, 4, 5, 6, 7, 8, 9)
+_QCV_STATIC = (2, 3, 4, 5, 6, 7, 8, 9, 10)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=_QCV_STATIC)
 def _qconv_int(
     x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, exp_x, exp_w, exp_g, kx, kw,
+    grad_on_grid, noise_bits, exp_x, exp_w, exp_g, kx, kw,
 ):
     y, _ = _qconv_fwd(
         x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-        grad_on_grid, exp_x, exp_w, exp_g, kx, kw,
+        grad_on_grid, noise_bits, exp_x, exp_w, exp_g, kx, kw,
     )
     return y
 
 
 def _qconv_fwd(
     x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, exp_x, exp_w, exp_g, kx, kw,
+    grad_on_grid, noise_bits, exp_x, exp_w, exp_g, kx, kw,
 ):
-    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared)
-    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared)
+    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared, noise_bits)
+    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits)
     op_dt, acc_dt = _code_dtype(bits_x, bits_w)
     y = _conv(xc, wc, strides, pads, op_dt, acc_dt) / (mx * mw)
     return y, (xc, wc, mx, mw, exp_g)
@@ -292,7 +306,7 @@ def _qconv_fwd(
 
 def _qconv_bwd(
     strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, res, g,
+    grad_on_grid, noise_bits, res, g,
 ):
     xc, wc, mx, mw, exp_g = res
     x_hw = xc.shape[1:3]
@@ -354,6 +368,7 @@ def qconv2d(
     engine: str = "int8",
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
+    noise_bits: int = 24,
     key_x: Optional[jax.Array] = None,
     key_w: Optional[jax.Array] = None,
 ) -> jax.Array:
@@ -364,7 +379,7 @@ def qconv2d(
     strides = tuple(strides)
     pads = conv_pads(padding, x.shape[1:3], w.shape[0:2], strides)
     if (
-        engine == "sim"
+        engine in ("sim", "sim_bf16")
         or bits_x >= 32
         or bits_w >= 32
         or _code_dtype(bits_x, bits_w) is None
@@ -377,6 +392,11 @@ def qconv2d(
             w, bits_w, exp_w, key_w,
             stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
         )
+        if engine == "sim_bf16" and max(bits_x, bits_w) < 32:
+            return lax.conv_general_dilated(
+                xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+                strides, pads, dimension_numbers=_CONV_DN,
+            ).astype(jnp.float32)
         return lax.conv_general_dilated(
             xq, wq, strides, pads, dimension_numbers=_CONV_DN,
             preferred_element_type=jnp.float32,
@@ -384,6 +404,6 @@ def qconv2d(
     grad_on_grid = bits_g < 32 and _code_dtype(bits_g, bits_w) is not None
     return _qconv_int(
         x, w, strides, pads, bits_x, bits_w, bits_g, stochastic,
-        noise_shared_axis0, grad_on_grid, exp_x, exp_w, exp_g,
+        noise_shared_axis0, grad_on_grid, noise_bits, exp_x, exp_w, exp_g,
         _keydata(key_x), _keydata(key_w),
     )

@@ -89,6 +89,37 @@ def make_train_step(model: Model, tc: TrainConfig,
     return train_step
 
 
+def make_scan_train_step(model: Model, tc: TrainConfig,
+                         unroll_steps: int,
+                         donate: bool = True) -> Callable:
+    """K train steps per dispatch via ``lax.scan``:
+
+        (params, qstate, velocity, xs, ys, step0, lr, key)
+            -> (params', qstate', velocity', stacked_metrics)
+
+    with ``xs: [K, B, ...]``, ``ys: [K, B]``.  Amortizes host->device
+    dispatch (important over remote/tunneled devices where per-call RPC
+    latency rivals the step time) and lets XLA overlap adjacent steps.
+    """
+    inner = make_train_step(model, tc, jit=False)
+
+    def scan_step(params, qstate, velocity, xs, ys, step0, lr, base_key):
+        def body(carry, inp):
+            params, qstate, velocity, step = carry
+            x, y = inp
+            params, qstate, velocity, metrics = inner(
+                params, qstate, velocity, x, y, step, lr, base_key)
+            return (params, qstate, velocity, step + 1), metrics
+
+        (params, qstate, velocity, _), metrics = jax.lax.scan(
+            body, (params, qstate, velocity, step0), (xs, ys),
+            length=unroll_steps)
+        return params, qstate, velocity, metrics
+
+    return jax.jit(scan_step,
+                   donate_argnums=(0, 1, 2) if donate else ())
+
+
 def make_eval_step(model: Model, faithful_eval: bool = False,
                    axis_name: Optional[str] = None,
                    jit: bool = True) -> Callable:

@@ -66,7 +66,9 @@ class Trainer:
         faithful = bool(model.cfg and model.cfg.faithful_eval)
         self.eval_step = make_eval_step(model, faithful_eval=faithful)
 
-        self.base_key = jax.random.key(tc.seed)
+        impl = (model.cfg.noise_impl if model.cfg is not None
+                else "threefry2x32")
+        self.base_key = jax.random.key(tc.seed, impl=impl)
         params_key, self.data_key = jax.random.split(
             jax.random.fold_in(self.base_key, 0xA11CE))
         self.params, self.qstate = model.init(params_key)

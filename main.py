@@ -36,7 +36,7 @@ def parse_args():
     p.add_argument("--bits_a", type=int, default=None)
     p.add_argument("--bits_g", type=int, default=None)
     p.add_argument("--engine", type=str, default="int8",
-                   choices=["sim", "int8", "pallas"])
+                   choices=["sim", "sim_bf16", "int8", "pallas"])
     p.add_argument("--target_overflow_rate", type=float, default=0.0)
     p.add_argument("--deterministic_rounding", action="store_true",
                    help="round-to-nearest-even instead of stochastic")

@@ -159,3 +159,75 @@ def test_synthetic_dataset_is_learnable():
     xtr, ytr = data["train"]
     assert xtr.shape == (512, 28, 28, 1)
     assert set(np.unique(ytr)) <= set(range(10))
+
+
+def test_scan_step_matches_sequential():
+    """K scanned steps per dispatch == K sequential dispatches, bitwise
+    (deterministic rounding)."""
+    from lbt_tpu.nn import Dense, ReLU
+    from lbt_tpu.nn.model import Model
+    from lbt_tpu.train.step import make_scan_train_step
+
+    cfg = QuantConfig.uniform(8, stochastic=False)
+    model = Model("toy", [
+        Dense("d1", cfg, 12, 32), ReLU(), Dense("d2", cfg, 32, 4),
+    ], input_shape=(12,), num_classes=4, cfg=cfg)
+    tc = TrainConfig(lr=0.05, batch_size=16)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    rng = np.random.default_rng(0)
+    xs = rng.normal(0, 1, (3, 16, 12)).astype(np.float32)
+    ys = rng.integers(0, 4, (3, 16)).astype(np.int32)
+    key = jax.random.key(5)
+    lr = jnp.float32(0.05)
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+
+    seq = make_train_step(model, tc)
+    p1, q1, v1 = copy(params), copy(qstate), copy(vel)
+    for i in range(3):
+        p1, q1, v1, m1 = seq(p1, q1, v1, xs[i], ys[i], i, lr, key)
+
+    scan = make_scan_train_step(model, tc, 3)
+    p2, q2, v2, ms = scan(copy(params), copy(qstate), copy(vel),
+                          jnp.asarray(xs), jnp.asarray(ys),
+                          jnp.int32(0), lr, key)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(q1), jax.tree.leaves(q2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(m1["loss"]), float(ms["loss"][-1]))
+
+
+def test_sim_bf16_engine_trains():
+    cfg = QuantConfig.uniform(8, engine="sim_bf16")
+    from lbt_tpu.nn import Dense, ReLU
+    from lbt_tpu.nn.model import Model
+    model = Model("toy", [
+        Dense("d1", cfg, 20, 64), ReLU(), Dense("d2", cfg, 64, 4),
+    ], input_shape=(20,), num_classes=4, cfg=cfg)
+    tc = TrainConfig(lr=0.05, batch_size=64)
+    step_fn = make_train_step(model, tc)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    x, y = _data()
+    losses = []
+    for i in range(40):
+        sel = slice((i * 64) % 256, (i * 64) % 256 + 64)
+        params, qstate, vel, m = step_fn(
+            params, qstate, vel, x[sel], y[sel], i, jnp.float32(0.05),
+            jax.random.key(1))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6, losses[::10]
+
+
+def test_unsafe_rbg_noise_impl():
+    """Both PRNG impls flow through quantize/barrier key plumbing."""
+    from lbt_tpu.dfxp.quantize import quantize_ste
+
+    x = jnp.full((64, 64), 0.3)
+    for impl in ("threefry2x32", "unsafe_rbg"):
+        key = jax.random.key(3, impl=impl)
+        q = quantize_ste(x, 8, jnp.int32(2), key, stochastic=True)
+        vals = np.unique(np.asarray(q))
+        assert len(vals) <= 2          # two neighboring grid points
+        assert abs(float(q.mean()) - 0.3) < 0.02
