@@ -1,0 +1,153 @@
+"""Inference / deployment.
+
+The reference has no inference path at all (training script only; its
+checkpoint is save-only, reference trainer.py:189-192).  Here a trained
+model deploys as:
+
+* a jitted predict function (int8 forward on the MXU, running-stat BN,
+  dropout off, deterministic quantization — the serving-grade config);
+* an exported artifact of *integer weight codes* + exponents: weights
+  ship as int8 (4x smaller than f32) plus one int32 exponent per tensor,
+  and are bit-exactly reconstructible onto the DFXP grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lbt_tpu.dfxp.quantize import dequantize, multiplier, quantize_int
+from lbt_tpu.nn.core import Ctx
+from lbt_tpu.nn.model import Model
+from lbt_tpu.train import checkpoint as ckpt
+
+
+def make_predict_fn(model: Model, return_probs: bool = False):
+    """(params, qstate, x) -> labels [, probs].  Deterministic rounding
+    (serving wants reproducible outputs), running BN statistics."""
+
+    def predict(params, qstate, x):
+        # no PRNG key in the ctx -> layers use deterministic
+        # round-to-nearest regardless of cfg.stochastic
+        sinks = model.make_sinks()
+        logits, _ = model.apply(params, qstate, sinks, x,
+                                Ctx(train=False, key=None, update=False))
+        labels = jnp.argmax(logits, axis=-1)
+        if return_probs:
+            return labels, jax.nn.softmax(logits, axis=-1)
+        return labels
+
+    return jax.jit(predict)
+
+
+# ---------------------------------------------------------------------------
+# quantized weight export
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class QuantizedLeaf:
+    codes: jax.Array   # int8 (bits<=8) or int32
+    exp: jax.Array     # int32 scalar
+    bits: int
+
+
+def export_quantized_weights(model: Model, params, qstate) -> Dict:
+    """Weights as integer codes on their *current* exponents.
+
+    Walks params alongside qstate; any leaf with a matching exponent site
+    ('W' -> 'w', 'b' -> 'b', 'gamma'/'beta' by name) exports as codes;
+    leaves without a quantization site stay float.  Deterministic
+    rounding (the deployed weights are the rounded grid points the
+    forward pass would use)."""
+    cfg = model.cfg
+    site_of = {"W": "w", "b": "b", "gamma": "gamma", "beta": "beta"}
+    bits_of = {"W": cfg.bits_w, "b": cfg.bits_b,
+               "gamma": cfg.bits_b, "beta": cfg.bits_b}
+
+    def walk(p, q):
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, q.get(k, {}))
+            else:
+                site = site_of.get(k)
+                exps = q.get("exp", {}) if isinstance(q, dict) else {}
+                if site is not None and site in exps:
+                    bits = bits_of[k]
+                    codes, _ = quantize_int(v, bits, exps[site])
+                    if bits <= 8:
+                        codes = codes.astype(jnp.int8)
+                    out[k] = QuantizedLeaf(codes, exps[site], bits)
+                else:
+                    out[k] = v
+        return out
+
+    return walk(params, qstate)
+
+
+def restore_quantized_weights(exported) -> Dict:
+    """Dequantize an exported tree back to float params (values lie
+    exactly on the DFXP grid the forward pass quantizes to)."""
+
+    def walk(node):
+        if isinstance(node, QuantizedLeaf):
+            return dequantize(node.codes.astype(jnp.int32),
+                              multiplier(node.bits, node.exp))
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(exported)
+
+
+def exported_nbytes(exported) -> Tuple[int, int]:
+    """(quantized_bytes, float32_bytes) for the exported tree."""
+    qb = fb = 0
+
+    def walk(node):
+        nonlocal qb, fb
+        if isinstance(node, QuantizedLeaf):
+            qb += node.codes.size * node.codes.dtype.itemsize + 4
+            fb += node.codes.size * 4
+        elif isinstance(node, dict):
+            for v in node.values():
+                walk(v)
+        else:
+            qb += node.size * node.dtype.itemsize
+            fb += node.size * 4
+
+    walk(exported)
+    return qb, fb
+
+
+class Predictor:
+    """Checkpoint -> serving handle.
+
+    >>> p = Predictor.from_checkpoint(model, "exp/ckpt")
+    >>> labels = p(batch)
+    """
+
+    def __init__(self, model: Model, params, qstate):
+        self.model = model
+        self.params = params
+        self.qstate = qstate
+        self._fn = make_predict_fn(model)
+
+    @classmethod
+    def from_checkpoint(cls, model: Model, directory: str,
+                        step: Optional[int] = None) -> "Predictor":
+        params, qstate = model.init(jax.random.key(0))
+        state = ckpt.restore_checkpoint(
+            directory,
+            {"params": params, "qstate": qstate,
+             "velocity": params, "epoch": 0},
+            step,
+        )
+        return cls(model, state["params"], state["qstate"])
+
+    def __call__(self, x) -> jax.Array:
+        return self._fn(self.params, self.qstate, x)

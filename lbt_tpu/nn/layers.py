@@ -91,7 +91,8 @@ class Dense(Layer):
         if "w" in exp:
             new_exp["w"] = self._ctrl(ctx, params["W"], cfg.bits_w, exp["w"])
 
-        kw = dict(stochastic=cfg.stochastic,
+        # no PRNG key (serving) -> deterministic round-to-nearest
+        kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits)
         y = qmatmul(
@@ -180,7 +181,8 @@ class Conv2d(Layer):
         if "w" in exp:
             new_exp["w"] = self._ctrl(ctx, params["W"], cfg.bits_w, exp["w"])
 
-        kw = dict(stochastic=cfg.stochastic,
+        # no PRNG key (serving) -> deterministic round-to-nearest
+        kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits)
         y = qconv2d(

@@ -59,7 +59,8 @@ class Normalization(Layer):
         exp = qstate["exp"]
         state = qstate["state"]
         new_exp = dict(exp)
-        kw = dict(stochastic=cfg.stochastic,
+        # no PRNG key (serving) -> deterministic round-to-nearest
+        kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits)
 
@@ -150,7 +151,8 @@ class Rescale(Layer):
         cfg = self.cfg
         exp = qstate["exp"]
         new_exp = dict(exp)
-        kw = dict(stochastic=cfg.stochastic,
+        # no PRNG key (serving) -> deterministic round-to-nearest
+        kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits)
 

@@ -191,6 +191,9 @@ def qmatmul_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
             bytes_accessed=(mp * kp + kp * np_) * 4 + mp * np_ * 4,

@@ -62,7 +62,18 @@ class Trainer:
         self.profiler = StepProfiler(
             f"{logdir}/profile" if logdir else None, profile_steps)
 
-        self.train_step = make_train_step(model, tc)
+        self.dp = bool(tc.data_parallel) and len(jax.devices()) > 1
+        if self.dp:
+            from lbt_tpu.parallel.dp import make_dp_train_step
+            from lbt_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(data=len(jax.devices()), model=1)
+            assert tc.batch_size % len(jax.devices()) == 0, (
+                "batch_size must divide across devices")
+            self.train_step = make_dp_train_step(
+                model, tc, self.mesh,
+                lowbit_bits=8 if tc.lowbit_allreduce else None)
+        else:
+            self.train_step = make_train_step(model, tc)
         faithful = bool(model.cfg and model.cfg.faithful_eval)
         self.eval_step = make_eval_step(model, faithful_eval=faithful)
 
@@ -73,6 +84,11 @@ class Trainer:
             jax.random.fold_in(self.base_key, 0xA11CE))
         self.params, self.qstate = model.init(params_key)
         self.velocity = momentum_init(self.params)
+        if self.dp:
+            from lbt_tpu.parallel.lowbit import init_error_buffers
+            self.ebuf = init_error_buffers(self.params)
+        else:
+            self.ebuf = None
         self.step = 0
         self.epoch = 0
 
@@ -88,12 +104,15 @@ class Trainer:
 
     # -- checkpoint ---------------------------------------------------------
     def _state(self):
-        return {
+        state = {
             "params": self.params,
             "qstate": self.qstate,
             "velocity": self.velocity,
             "epoch": self.epoch,
         }
+        if self.dp:
+            state["ebuf"] = self.ebuf
+        return state
 
     def save(self, directory: Optional[str] = None):
         directory = directory or self.tc.checkpoint_dir
@@ -114,6 +133,8 @@ class Trainer:
         self.params = state["params"]
         self.qstate = state["qstate"]
         self.velocity = state["velocity"]
+        if self.dp and "ebuf" in state:
+            self.ebuf = state["ebuf"]
         self.epoch = int(state["epoch"])
         self.step = step
         self.logger.info("Resumed from %s @ step %d (epoch %d)",
@@ -147,9 +168,16 @@ class Trainer:
                 x = self.augment(
                     jax.random.fold_in(self.data_key, self.step), x)
             self.profiler.observe(self.step)
-            self.params, self.qstate, self.velocity, m = self.train_step(
-                self.params, self.qstate, self.velocity, x, y,
-                self.step, lr_dev, self.base_key)
+            if self.dp:
+                (self.params, self.qstate, self.velocity, self.ebuf,
+                 m) = self.train_step(
+                    self.params, self.qstate, self.velocity, self.ebuf,
+                    x, y, self.step, lr_dev, self.base_key)
+            else:
+                self.params, self.qstate, self.velocity, m = \
+                    self.train_step(
+                        self.params, self.qstate, self.velocity, x, y,
+                        self.step, lr_dev, self.base_key)
             self.step += 1
             n_img += len(y)
             if not first_step_logged:

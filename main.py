@@ -68,6 +68,13 @@ def parse_args():
                    help="use the C++ input pipeline (native/loader.cc)")
     p.add_argument("--log_every", type=int, default=100,
                    help="log train metrics every N batches")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax_debug_nans: fail fast on NaN/Inf anywhere")
+    p.add_argument("--lowbit_allreduce", action="store_true",
+                   help="DFXP-int8 error-feedback gradient all-reduce "
+                        "(implies --data_parallel)")
     p.add_argument("--gradient_buffer", action="store_true",
                    help="insert error-feedback GradientBuffers at the "
                         "reference's ResNet sites")
@@ -88,6 +95,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/lbt_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     exp = args.exp_path or os.path.join(
         "experiments",
         datetime.datetime.now().strftime("%m-%d-%H%M%S") + "-" + args.model)
@@ -122,6 +131,8 @@ def main():
         log_every=args.log_every,
         checkpoint_every_epochs=args.checkpoint_every,
         checkpoint_dir=os.path.join(exp, "ckpt"),
+        data_parallel=args.data_parallel or args.lowbit_allreduce,
+        lowbit_allreduce=args.lowbit_allreduce,
     )
 
     model_kw = dict(dropout_keep=args.dropout,

@@ -179,3 +179,26 @@ def test_graft_entry_dryrun():
     logits = jax.jit(fn)(*args)
     assert logits.shape[-1] == 10
     ge.dryrun_multichip(8)
+
+
+def test_trainer_data_parallel_end_to_end():
+    """Trainer with data_parallel + lowbit_allreduce on the virtual mesh."""
+    from lbt_tpu.data.datasets import load_dataset
+    from lbt_tpu.train.trainer import Trainer
+
+    cfg = QuantConfig.uniform(8)
+    from lbt_tpu.models import build_model
+    model = build_model("PI_MNIST", cfg)
+    tc = TrainConfig(batch_size=64, n_epoch=1, log_every=1000,
+                     data_parallel=True, lowbit_allreduce=True)
+    data = load_dataset("pi_mnist", n_train=256, n_test=128)
+    tr = Trainer(model, tc, data)
+    assert tr.dp
+    l0 = tr.evaluate()["loss"]
+    tr.train_epoch(0)
+    ev = tr.evaluate()
+    assert np.isfinite(ev["loss"])
+    assert ev["loss"] < l0 * 1.2  # trains without blowing up
+    # error buffers live
+    assert any(float(jnp.max(jnp.abs(b))) > 0
+               for b in jax.tree.leaves(tr.ebuf))
