@@ -21,13 +21,20 @@ from lbt_tpu.ops.qops import qconv2d, qmatmul
 E = jnp.int32
 
 
+def _readback(out):
+    # force completion with a device->host transfer: block_until_ready on
+    # the axon backend returns before execution finishes (BENCH_NOTES.md)
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
+
+
 def timeit(fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -42,27 +42,28 @@ def _float0(x) -> np.ndarray:
     return np.zeros(aval.shape, dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7))
 def _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-             noise_bits, sink):
+             noise_bits, backend, sink):
     del exp, keydata, sink
     return x
 
 
 def _barrier_fwd(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-                 noise_bits, sink):
+                 noise_bits, backend, sink):
     del sink
     return x, (exp, keydata)
 
 
-def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, res, g):
+def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, backend,
+                 res, g):
     exp, keydata = res
     stats = overflow_rates(g, bits, exp)
     key = None if keydata is None else wrap_key(keydata)
     gq = quantize(
         g, bits, exp, key,
         stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
-        noise_bits=noise_bits,
+        noise_bits=noise_bits, backend=backend,
     )
     key_cot = None if keydata is None else _float0(keydata)
     return (gq, _float0(exp), key_cot, stats)
@@ -81,6 +82,7 @@ def grad_quant_barrier(
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
+    backend: str = "xla",
 ) -> jax.Array:
     """Identity forward; backward quantizes the cotangent at ``(bits, exp)``
     and emits its overflow stats as the cotangent of ``sink``."""
@@ -88,4 +90,4 @@ def grad_quant_barrier(
         return x
     keydata = None if key is None else jax.random.key_data(key)
     return _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-                    noise_bits, sink)
+                    noise_bits, backend, sink)

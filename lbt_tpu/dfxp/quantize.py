@@ -98,13 +98,32 @@ def quantize_int(
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
+    backend: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Quantize to integer codes.
 
     Returns ``(codes_int32, multiplier)`` with
     ``dequantized = codes / multiplier``.  ``bits`` must be < 32.
+
+    ``backend='pallas'`` (TPU only; silently falls back elsewhere) runs
+    the fused Pallas kernel with in-kernel hardware-PRNG stochastic
+    rounding — the fast path, with a different (but equally uniform)
+    noise stream than the XLA threefry path.
     """
     assert bits < 32, "quantize_int is only meaningful for bits < 32"
+    if (backend == "pallas" and not noise_shared_axis0
+            and jax.default_backend() == "tpu"):
+        from lbt_tpu.ops.pallas import quantize_pallas
+        seed = None
+        if stochastic:
+            if key is None:
+                raise ValueError(
+                    "stochastic quantization requires a PRNG key")
+            kd = jax.random.key_data(key)
+            seed = (kd[0] ^ kd[-1]).astype(jnp.int32)
+        codes, mult = quantize_pallas(
+            x.astype(jnp.float32), bits, exp, seed, stochastic=stochastic)
+        return codes.astype(jnp.int32), mult
     x = x.astype(jnp.float32)
     mult = multiplier(bits, exp)
     limit = float(2 ** (bits - 1))
@@ -132,6 +151,7 @@ def quantize(
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
+    backend: str = "xla",
 ) -> jax.Array:
     """Fake-quantize: quantize then dequantize, no STE (not differentiable
     in the STE sense — use :func:`quantize_ste` inside models)."""
@@ -140,7 +160,7 @@ def quantize(
     codes, mult = quantize_int(
         x, bits, exp, key,
         stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
-        noise_bits=noise_bits,
+        noise_bits=noise_bits, backend=backend,
     )
     return dequantize(codes, mult)
 
@@ -154,26 +174,26 @@ def _float0(x) -> np.ndarray:
     return np.zeros(aval.shape, dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6))
 def _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0, noise_bits,
-                  keydata):
+                  backend, keydata):
     key = None if keydata is None else wrap_key(keydata)
     return quantize(
         x, bits, exp, key,
         stochastic=stochastic, noise_shared_axis0=noise_shared_axis0,
-        noise_bits=noise_bits,
+        noise_bits=noise_bits, backend=backend,
     )
 
 
 def _quantize_ste_fwd(x, bits, exp, stochastic, noise_shared_axis0,
-                      noise_bits, keydata):
+                      noise_bits, backend, keydata):
     y = _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0,
-                      noise_bits, keydata)
+                      noise_bits, backend, keydata)
     return y, (exp, keydata)
 
 
 def _quantize_ste_bwd(bits, stochastic, noise_shared_axis0, noise_bits,
-                      res, g):
+                      backend, res, g):
     # STE: cotangent passes through untouched (reference
     # dynamic_fixed_point.py:30,38 `lambda dy: dy`).
     exp, keydata = res
@@ -193,13 +213,14 @@ def quantize_ste(
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
+    backend: str = "xla",
 ) -> jax.Array:
     """Fake-quantize with straight-through gradient (identity backward)."""
     if bits >= 32:
         return x
     keydata = None if key is None else jax.random.key_data(key)
     return _quantize_ste(x, bits, exp, stochastic, noise_shared_axis0,
-                         noise_bits, keydata)
+                         noise_bits, backend, keydata)
 
 
 # ---------------------------------------------------------------------------

@@ -94,7 +94,8 @@ class Dense(Layer):
         # no PRNG key (serving) -> deterministic round-to-nearest
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
-                  noise_bits=cfg.resolved_noise_bits)
+                  noise_bits=cfg.resolved_noise_bits,
+                  backend="pallas" if cfg.engine == "pallas" else "xla")
         y = qmatmul(
             x, params["W"],
             exp.get("x", _E0), exp.get("w", _E0), exp.get("grad", _E0),
@@ -184,7 +185,8 @@ class Conv2d(Layer):
         # no PRNG key (serving) -> deterministic round-to-nearest
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
-                  noise_bits=cfg.resolved_noise_bits)
+                  noise_bits=cfg.resolved_noise_bits,
+                  backend="pallas" if cfg.engine == "pallas" else "xla")
         y = qconv2d(
             x, params["W"],
             exp.get("x", _E0), exp.get("w", _E0), exp.get("grad", _E0),

@@ -62,7 +62,8 @@ class Normalization(Layer):
         # no PRNG key (serving) -> deterministic round-to-nearest
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
-                  noise_bits=cfg.resolved_noise_bits)
+                  noise_bits=cfg.resolved_noise_bits,
+                  backend="pallas" if cfg.engine == "pallas" else "xla")
 
         if "x" in exp:
             new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])
@@ -154,7 +155,8 @@ class Rescale(Layer):
         # no PRNG key (serving) -> deterministic round-to-nearest
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
-                  noise_bits=cfg.resolved_noise_bits)
+                  noise_bits=cfg.resolved_noise_bits,
+                  backend="pallas" if cfg.engine == "pallas" else "xla")
 
         if "x" in exp:
             new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])

@@ -56,10 +56,27 @@ def _round_up(x: int, m: int) -> int:
 
 def _quant_kernel(mult_ref, seed_ref, x_ref, out_ref, *, bits, stochastic):
     if stochastic:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     limit = float(2 ** (bits - 1))
     codes = _quantize_block(x_ref[:], mult_ref[0], limit, stochastic)
     out_ref[:] = codes.astype(out_ref.dtype)
+
+
+def _view2d(shape) -> Optional[Tuple[int, int]]:
+    """(rows, cols) for a layout-preserving 2-d view with lane-aligned
+    cols (row-major: any suffix of dims collapses for free), or None."""
+    cols = 1
+    dims = list(shape)
+    while dims:
+        cols *= dims.pop()
+        if cols % 128 == 0 and cols <= 4096:
+            rows = 1
+            for d in dims:
+                rows *= d
+            return rows, cols
+        if cols > 4096:
+            return None
+    return None
 
 
 def quantize_pallas(
@@ -69,42 +86,64 @@ def quantize_pallas(
     seed: Optional[jax.Array] = None,
     *,
     stochastic: bool = False,
-    block_rows: int = 512,
+    block_rows: int = 256,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused DFXP quantize of an arbitrary-shape f32 tensor.
 
     Returns ``(codes, mult)`` with codes int8 when ``bits <= 8`` else
-    int32, ``dequantized = codes / mult``.
+    int32, ``dequantized = codes / mult``.  Stochastic rounding uses the
+    in-kernel hardware PRNG — no threefry arithmetic, which dominates
+    XLA-side stochastic quantization (benchmarks/BENCH_NOTES.md).
+
+    When a trailing suffix of dims collapses to a 128-multiple (e.g. the
+    W*C of an NHWC activation), the 2-d view is free (row-major); other
+    shapes pay one pad/flatten copy.
     """
     assert bits < 32
     orig_shape = x.shape
     n = x.size
-    lanes = 128
-    cols = lanes
-    rows = _round_up(-(-n // cols), 8)
-    padded = rows * cols
-    xf = jnp.pad(x.reshape(-1), (0, padded - n)).reshape(rows, cols)
+
+    view = _view2d(orig_shape)
+    if view is not None:
+        rows, cols = view
+        xf = x.reshape(rows, cols)
+        pad_rows = _round_up(rows, 8) - rows
+        if pad_rows:
+            xf = jnp.pad(xf, ((0, pad_rows), (0, 0)))
+        rows += pad_rows
+    else:
+        cols = 512
+        rows = _round_up(-(-n // cols), 8)
+        xf = jnp.pad(x.reshape(-1), (0, rows * cols - n)).reshape(
+            rows, cols)
 
     mult = multiplier(bits, exp).reshape(1)
     seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
                 else seed.reshape(1).astype(jnp.int32))
     out_dtype = jnp.int8 if bits <= 8 else jnp.int32
 
-    grid = (pl.cdiv(rows, block_rows),)
+    br = min(block_rows, rows)
     codes = pl.pallas_call(
         functools.partial(_quant_kernel, bits=bits, stochastic=stochastic),
-        grid=grid,
+        grid=(pl.cdiv(rows, br),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+            pl.BlockSpec((br, cols), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((br, cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, cols), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
     )(mult, seed_arr, xf)
-    return codes.reshape(-1)[:n].reshape(orig_shape), multiplier(bits, exp)
+    if view is not None:
+        out = codes[:view[0]] if pad_rows else codes
+        return out.reshape(orig_shape), multiplier(bits, exp)
+    return (codes.reshape(-1)[:n].reshape(orig_shape),
+            multiplier(bits, exp))
 
 
 # ---------------------------------------------------------------------------

@@ -64,11 +64,12 @@ def _code_dtype(*bits: int):
     return None
 
 
-def _codes(x, bits, exp, keydata, stochastic, shared, noise_bits=24):
+def _codes(x, bits, exp, keydata, stochastic, shared, noise_bits=24,
+           backend="xla"):
     key = wrap_key(keydata) if stochastic else None
     return quantize_int(
         x, bits, exp, key, stochastic=stochastic,
-        noise_shared_axis0=shared, noise_bits=noise_bits,
+        noise_shared_axis0=shared, noise_bits=noise_bits, backend=backend,
     )
 
 
@@ -97,27 +98,29 @@ _MM = (((1,), (0,)), ((), ()))          # [m,k] @ [k,n]
 _MM_GT = (((1,), (1,)), ((), ()))       # g @ w^T : [m,n],[k,n] -> [m,k]
 _MM_XG = (((0,), (0,)), ((), ()))       # x^T @ g : [m,k],[m,n] -> [k,n]
 
-_QMM_STATIC = (2, 3, 4, 5, 6, 7, 8)  # bits_*, stoch, shared, gog, noise_bits
+_QMM_STATIC = (2, 3, 4, 5, 6, 7, 8, 9)  # bits_*, stoch, shared, gog, noise_bits, backend
 
 
 @partial(jax.custom_vjp, nondiff_argnums=_QMM_STATIC)
 def _qmatmul_int(
     x, w, bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid,
-    noise_bits, exp_x, exp_w, exp_g, kx, kw,
+    noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
 ):
     y, _ = _qmatmul_fwd(
         x, w, bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid,
-        noise_bits, exp_x, exp_w, exp_g, kx, kw,
+        noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
     )
     return y
 
 
 def _qmatmul_fwd(
     x, w, bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid,
-    noise_bits, exp_x, exp_w, exp_g, kx, kw,
+    noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
 ):
-    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared, noise_bits)
-    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits)
+    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared, noise_bits,
+                    backend)
+    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits,
+                    backend)
     op_dt, acc_dt = _code_dtype(bits_x, bits_w)
     y = _dot(xc, wc, _MM, op_dt, acc_dt) / (mx * mw)
     return y, (xc, wc, mx, mw, exp_g)
@@ -125,7 +128,7 @@ def _qmatmul_fwd(
 
 def _qmatmul_bwd(
     bits_x, bits_w, bits_g, stochastic, shared, grad_on_grid, noise_bits,
-    res, g,
+    backend, res, g,
 ):
     xc, wc, mx, mw, exp_g = res
     if grad_on_grid:
@@ -163,6 +166,7 @@ def qmatmul(
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
+    backend: str = "xla",
     key_x: Optional[jax.Array] = None,
     key_w: Optional[jax.Array] = None,
 ) -> jax.Array:
@@ -198,10 +202,12 @@ def qmatmul(
                 xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16), _MM,
             ).astype(jnp.float32)
         return lax.dot_general(xq, wq, _MM, preferred_element_type=jnp.float32)
+    if engine == "pallas":
+        backend = "pallas"
     grad_on_grid = bits_g < 32 and _code_dtype(bits_g, bits_w) is not None
     return _qmatmul_int(
         x, w, bits_x, bits_w, bits_g, stochastic, noise_shared_axis0,
-        grad_on_grid, noise_bits, exp_x, exp_w, exp_g,
+        grad_on_grid, noise_bits, backend, exp_x, exp_w, exp_g,
         _keydata(key_x), _keydata(key_w),
     )
 
@@ -278,27 +284,29 @@ def _dw_conv_params(x_hw, k_hw, strides, pads, y_hw):
     return tuple(new_pads)
 
 
-_QCV_STATIC = (2, 3, 4, 5, 6, 7, 8, 9, 10)
+_QCV_STATIC = (2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=_QCV_STATIC)
 def _qconv_int(
     x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, noise_bits, exp_x, exp_w, exp_g, kx, kw,
+    grad_on_grid, noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
 ):
     y, _ = _qconv_fwd(
         x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-        grad_on_grid, noise_bits, exp_x, exp_w, exp_g, kx, kw,
+        grad_on_grid, noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
     )
     return y
 
 
 def _qconv_fwd(
     x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, noise_bits, exp_x, exp_w, exp_g, kx, kw,
+    grad_on_grid, noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
 ):
-    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared, noise_bits)
-    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits)
+    xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared, noise_bits,
+                    backend)
+    wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits,
+                    backend)
     op_dt, acc_dt = _code_dtype(bits_x, bits_w)
     y = _conv(xc, wc, strides, pads, op_dt, acc_dt) / (mx * mw)
     return y, (xc, wc, mx, mw, exp_g)
@@ -306,7 +314,7 @@ def _qconv_fwd(
 
 def _qconv_bwd(
     strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, noise_bits, res, g,
+    grad_on_grid, noise_bits, backend, res, g,
 ):
     xc, wc, mx, mw, exp_g = res
     x_hw = xc.shape[1:3]
@@ -369,6 +377,7 @@ def qconv2d(
     stochastic: bool = False,
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
+    backend: str = "xla",
     key_x: Optional[jax.Array] = None,
     key_w: Optional[jax.Array] = None,
 ) -> jax.Array:
@@ -401,9 +410,11 @@ def qconv2d(
             xq, wq, strides, pads, dimension_numbers=_CONV_DN,
             preferred_element_type=jnp.float32,
         )
+    if engine == "pallas":
+        backend = "pallas"
     grad_on_grid = bits_g < 32 and _code_dtype(bits_g, bits_w) is not None
     return _qconv_int(
         x, w, strides, pads, bits_x, bits_w, bits_g, stochastic,
-        noise_shared_axis0, grad_on_grid, noise_bits, exp_x, exp_w, exp_g,
-        _keydata(key_x), _keydata(key_w),
+        noise_shared_axis0, grad_on_grid, noise_bits, backend,
+        exp_x, exp_w, exp_g, _keydata(key_x), _keydata(key_w),
     )
