@@ -231,3 +231,26 @@ def test_unsafe_rbg_noise_impl():
         vals = np.unique(np.asarray(q))
         assert len(vals) <= 2          # two neighboring grid points
         assert abs(float(q.mean()) - 0.3) < 0.02
+
+
+def test_faithful_mode_flags_end_to_end():
+    """All reference-quirk toggles at once: faithful_eval (train-mode BN
+    + dropout in eval), shared-axis0 noise, momentum reset at decays."""
+    cfg = QuantConfig.uniform(8, faithful_eval=True,
+                              noise_shared_axis0=True)
+    model = build_model("MNIST", cfg)
+    tc = TrainConfig(batch_size=32, n_epoch=2, log_every=1000,
+                     lr_decay_epochs=(1,), reset_momentum_on_decay=True)
+    data = load_dataset("mnist", n_train=256, n_test=128)
+    tr = Trainer(model, tc, data)
+    tr.train_epoch(0)
+    v_before = jax.tree.leaves(tr.velocity)[0]
+    assert float(jnp.max(jnp.abs(v_before))) > 0
+    tr.train_epoch(1)  # decay epoch: velocity was reset before stepping
+    ev = tr.evaluate()
+    assert np.isfinite(ev["loss"])
+    # faithful eval uses batch statistics + live dropout: two evals with
+    # the same params still agree on loss structure (stochastic noise is
+    # keyed identically inside evaluate)
+    ev2 = tr.evaluate()
+    assert ev["loss"] == ev2["loss"]
