@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=0.05)
     ap.add_argument("--bits", type=int, nargs="*", default=[8, 32])
+    ap.add_argument("--warmup_epochs", type=int, default=0)
     ap.add_argument("--engine", default="int8")
     args = ap.parse_args()
     for b in args.bits:
@@ -61,6 +62,7 @@ def main():
     tc = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, n_epoch=args.epochs,
         lr_decay_epochs=(args.epochs // 2, 3 * args.epochs // 4),
+        warmup_epochs=args.warmup_epochs,
         log_every=10_000,
     )
     results = {

@@ -118,6 +118,9 @@ class TrainConfig:
     n_epoch: int = 160
     lr_decay_factor: float = 0.1
     lr_decay_epochs: Tuple[int, ...] = (80, 120, 140)
+    # linear LR warmup epochs (0 = reference-faithful no warmup; a short
+    # warmup stabilizes DFXP + augmentation recipes, see train/optim.py)
+    warmup_epochs: int = 0
     dropout_keep: float = 0.5
     # The reference constructs a fresh MomentumOptimizer at each LR decay,
     # zeroing the momentum slots (reference trainer.py:79-84).  Off by

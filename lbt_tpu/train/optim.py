@@ -37,8 +37,18 @@ def momentum_update(params, velocity, grads, lr, momentum: float):
 
 
 def piecewise_lr(base_lr: float, decay_factor: float,
-                 decay_epochs: Sequence[int], epoch: int) -> float:
-    """Host-side LR for a given epoch (static per epoch)."""
+                 decay_epochs: Sequence[int], epoch: int,
+                 warmup_epochs: int = 0) -> float:
+    """Host-side LR for a given epoch (static per epoch).
+
+    ``warmup_epochs``: linear ramp from base_lr/warmup to base_lr over
+    the first epochs.  The reference has no warmup; DFXP training with
+    augmentation sits near a divergence edge at full LR from step 0
+    (quantized weights clip instead of recovering from an early
+    excursion), so a short warmup is recommended for ResNet recipes.
+    """
+    if warmup_epochs > 0 and epoch < warmup_epochs:
+        return base_lr * (epoch + 1) / warmup_epochs
     lr = base_lr
     for e in decay_epochs:
         if epoch >= e:

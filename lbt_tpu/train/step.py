@@ -28,53 +28,26 @@ from lbt_tpu.train.optim import apply_weight_decay, momentum_update
 
 
 def make_train_step(model: Model, tc: TrainConfig,
-                    axis_name: Optional[str] = None,
-                    grad_transform: Optional[Callable] = None,
                     jit: bool = True, donate: bool = True) -> Callable:
-    """Build the jitted train step.
-
-    ``axis_name``: if set, the step is meant to run under ``shard_map``
-    over a mesh axis of that name and gradients/metrics are psum-averaged
-    across it (data parallelism).  ``grad_transform(grads, lowbit_state)``
-    may replace the plain mean all-reduce (e.g. the low-bit error-feedback
-    all-reduce in lbt_tpu/parallel).
-    """
+    """Build the (single-device / GSPMD) jitted train step.  The
+    explicit shard_map data-parallel variant with the low-bit all-reduce
+    lives in lbt_tpu/parallel/dp.py."""
     decay = model.decay_tree()
 
     def loss_fn(params, sinks, qstate, x, y, key):
-        ctx = Ctx(train=True, key=key, update=True, psum_axis=axis_name)
+        ctx = Ctx(train=True, key=key, update=True)
         logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
         loss, acc = model.loss_and_acc(logits, y)
-        if axis_name is not None:
-            # scale so the backward cotangents carry the *global*-batch
-            # 1/N factor: per-layer gradient quantization then sees the
-            # same magnitudes as a single-device run of the full batch,
-            # and the all-reduce becomes a psum
-            loss = loss / jax.lax.psum(jnp.float32(1.0), axis_name)
         return loss, (new_qstate, acc)
 
     def train_step(params, qstate, velocity, x, y, step, lr, base_key):
         key = jax.random.fold_in(base_key, step)
-        if axis_name is not None:
-            # distinct stochastic-rounding noise per shard
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         sinks = model.make_sinks()
         (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True,
         )(params, sinks, qstate, x, y, key)
 
-        if axis_name is not None:
-            # backward-site overflow stats are global-batch quantities
-            sink_cots = jax.lax.pmean(sink_cots, axis_name)
         new_qstate = model.absorb_sinks(new_qstate, sink_cots)
-
-        if axis_name is not None:
-            if grad_transform is not None:
-                grads = grad_transform(grads)
-            else:
-                grads = jax.lax.psum(grads, axis_name)
-            loss = jax.lax.psum(loss, axis_name)
-            acc = jax.lax.pmean(acc, axis_name)
 
         grads = apply_weight_decay(grads, params, decay)
         new_params, new_velocity = momentum_update(

@@ -145,7 +145,7 @@ class Trainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         tc = self.tc
         lr = piecewise_lr(tc.lr, tc.lr_decay_factor, tc.lr_decay_epochs,
-                          epoch)
+                          epoch, tc.warmup_epochs)
         if (tc.reset_momentum_on_decay and epoch in tc.lr_decay_epochs):
             # reference quirk: fresh optimizer at each decay zeroes the
             # momentum slots (reference trainer.py:79-84)

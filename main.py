@@ -52,6 +52,7 @@ def parse_args():
     p.add_argument("--lr_decay_factor", type=float, default=0.1)
     p.add_argument("--lr_decay_epochs", type=int, nargs="*",
                    default=[80, 120, 140])
+    p.add_argument("--warmup_epochs", type=int, default=0)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--n_epoch", type=int, default=160)
@@ -125,6 +126,7 @@ def main():
         weight_decay=args.weight_decay, batch_size=args.batch_size,
         n_epoch=args.n_epoch, lr_decay_factor=args.lr_decay_factor,
         lr_decay_epochs=tuple(args.lr_decay_epochs),
+        warmup_epochs=args.warmup_epochs,
         dropout_keep=args.dropout,
         reset_momentum_on_decay=args.reset_momentum_on_decay,
         seed=args.seed,

@@ -254,3 +254,12 @@ def test_faithful_mode_flags_end_to_end():
     # keyed identically inside evaluate)
     ev2 = tr.evaluate()
     assert ev["loss"] == ev2["loss"]
+
+
+def test_warmup_schedule():
+    assert piecewise_lr(0.1, 0.1, (80,), 0, warmup_epochs=4) == \
+        pytest.approx(0.025)
+    assert piecewise_lr(0.1, 0.1, (80,), 3, warmup_epochs=4) == \
+        pytest.approx(0.1)
+    assert piecewise_lr(0.1, 0.1, (80,), 100, warmup_epochs=4) == \
+        pytest.approx(0.01)
