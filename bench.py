@@ -44,8 +44,8 @@ UNROLL = 20
 REPEATS = 3
 
 
-def measure(engine: str) -> float:
-    cfg = QuantConfig.uniform(8, engine=engine)
+def measure(engine: str, noise_mode: str = "prng") -> float:
+    cfg = QuantConfig.uniform(8, engine=engine, noise_mode=noise_mode)
     model = cifar10_resnet(cfg, 20)
     tc = TrainConfig(batch_size=BATCH)
     params, qstate = model.init(jax.random.key(0))
@@ -83,8 +83,13 @@ def measure(engine: str) -> float:
 
 
 def main():
-    ips_int8 = measure("int8")
-    ips_sim = measure("sim_bf16")
+    # headline: int8 engine with the fused counter-hash rounding noise
+    # (noise_mode='hash' — statistically equivalent stochastic rounding,
+    # ~10 VPU ops/word; see benchmarks/BENCH_NOTES.md).  Baseline: bf16
+    # fake-quant simulation with reference-style PRNG noise — i.e. the
+    # reference semantics implemented straightforwardly on TPU.
+    ips_int8 = measure("int8", "hash")
+    ips_sim = measure("sim_bf16", "prng")
     print(json.dumps({
         "metric": "resnet20_cifar10_dfp_int8_train_throughput",
         "value": round(ips_int8, 1),

@@ -52,6 +52,12 @@ class QuantConfig:
     # but the unpack forces TPU relayouts that cost more than threefry
     # saves on current XLA, so 24 stays the default everywhere).
     noise_bits: Optional[int] = None
+    # Rounding-noise source: 'prng' = jax.random (threefry/rbg per
+    # noise_impl, the reference-grade stream); 'hash' = cheap full-
+    # avalanche counter hash fused into the quantize by XLA (~10 VPU
+    # ops/word vs threefry's ~tens — the fast path; equally uniform,
+    # bit-reproducible across backends, different stream than 'prng').
+    noise_mode: str = "prng"
     # Compute engine for quantized matmul/conv:
     #   'sim'  - float fake-quant (quantize->dequantize around float op),
     #            semantics of the reference, fully autodiff-able.
@@ -64,6 +70,14 @@ class QuantConfig:
     #   'pallas' - like 'int8' but with hand-written fused Pallas kernels
     #            for the hot ops.
     engine: str = "int8"
+    # Lean fused BatchNorm: one layer computing normalize+affine with a
+    # SINGLE input quantization and ONE cotangent-quantization barrier.
+    # The reference quantizes the BN input twice (Normalization_q then
+    # Rescale_q re-quantizes the normalized tensor, reference
+    # dynamic_fixed_point.py:584-585,677-678) and quantizes the cotangent
+    # at both halves — roughly halving BN noise/controller work when
+    # fused.  Divergence from reference semantics; off by default.
+    fused_bn: bool = False
     # Reproduce reference bug: evaluation runs with training=True BN batch
     # stats and live dropout (reference trainer.py:164-165 leaves
     # set_testing commented out).  Default False = proper eval.
@@ -78,6 +92,8 @@ class QuantConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.noise_impl not in ("threefry2x32", "unsafe_rbg"):
             raise ValueError(f"unknown noise_impl {self.noise_impl!r}")
+        if self.noise_mode not in ("prng", "hash"):
+            raise ValueError(f"unknown noise_mode {self.noise_mode!r}")
 
     @property
     def bits_a_conv(self) -> int:
@@ -87,6 +103,13 @@ class QuantConfig:
     @property
     def resolved_noise_bits(self) -> int:
         return 24 if self.noise_bits is None else self.noise_bits
+
+    @property
+    def quant_backend(self) -> str:
+        """Backend string for the quantize sites (see quantize_int)."""
+        if self.engine == "pallas":
+            return "pallas"
+        return "xla_hash" if self.noise_mode == "hash" else "xla"
 
     @classmethod
     def fp32(cls) -> "QuantConfig":
@@ -138,3 +161,7 @@ class TrainConfig:
     # exponent (+ error feedback) before the psum.
     data_parallel: bool = False
     lowbit_allreduce: bool = False
+    # Wire transport for the low-bit all-reduce: None = XLA psum of the
+    # codes (int16 when the exact sum fits); 'int16'/'int8' = explicit
+    # ppermute ring collective at that wire width (see parallel/lowbit.py).
+    lowbit_wire: Optional[str] = None

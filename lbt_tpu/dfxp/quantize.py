@@ -60,8 +60,36 @@ def wrap_key(data: jax.Array) -> jax.Array:
     return jax.random.wrap_key_data(data, impl=impl)
 
 
+def _hash_uniform(key: jax.Array, shape) -> jax.Array:
+    """Uniform [0,1) noise from a cheap counter hash (~10 VPU ops/word).
+
+    Stochastic-rounding noise needs uniformity and decorrelation from the
+    data, not cryptographic strength: XLA's threefry (~tens of VPU ops
+    per word) dominates stochastic DFXP step time
+    (benchmarks/BENCH_NOTES.md), so this path hashes a flat element
+    counter with the key using the full-avalanche `lowbias32` integer
+    finalizer.  Pure XLA ops: fuses into the surrounding quantize (no
+    Pallas fusion break, no HBM round trip) and is bit-reproducible
+    across CPU/TPU backends.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    seed = kd[..., 0] + kd[..., -1] * jnp.uint32(0x9E3779B9)
+    n = 1
+    for d in shape:
+        n *= d
+    x = jax.lax.iota(jnp.uint32, max(n, 1)) ^ seed
+    # lowbias32 finalizer (avalanche-optimized xorshift-multiply)
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    u = (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    return u[:n].reshape(shape)
+
+
 def _noise(key: jax.Array, shape, shared_axis0: bool,
-           noise_bits: int = 24) -> jax.Array:
+           noise_bits: int = 24, fast: bool = False) -> jax.Array:
     """Uniform [0,1) rounding noise.
 
     ``noise_bits=24``: float32-grade noise via jax.random.uniform (the
@@ -71,10 +99,13 @@ def _noise(key: jax.Array, shape, shared_axis0: bool,
     probability bias by 2^-9 of one quantization step — negligible
     against the quantizer's own 8-bit resolution, and a large win since
     noise generation dominates stochastic DFXP step time.
+    ``fast=True``: counter-hash noise (see :func:`_hash_uniform`).
     """
     if shared_axis0 and len(shape) >= 1:
-        u = _noise(key, tuple(shape[1:]), False, noise_bits)
+        u = _noise(key, tuple(shape[1:]), False, noise_bits, fast)
         return jnp.broadcast_to(u, shape)
+    if fast:
+        return _hash_uniform(key, shape)
     if noise_bits >= 16:
         return jax.random.uniform(key, shape, jnp.float32)
     n = 1
@@ -107,8 +138,10 @@ def quantize_int(
 
     ``backend='pallas'`` (TPU only; silently falls back elsewhere) runs
     the fused Pallas kernel with in-kernel hardware-PRNG stochastic
-    rounding — the fast path, with a different (but equally uniform)
-    noise stream than the XLA threefry path.
+    rounding — with a different (but equally uniform) noise stream than
+    the XLA threefry path.  ``backend='xla_hash'`` keeps the pure-XLA
+    (fully fused) quantize but draws rounding noise from the cheap
+    counter hash instead of threefry — the fast path.
     """
     assert bits < 32, "quantize_int is only meaningful for bits < 32"
     if (backend == "pallas" and not noise_shared_axis0
@@ -131,7 +164,8 @@ def quantize_int(
     if stochastic:
         if key is None:
             raise ValueError("stochastic quantization requires a PRNG key")
-        scaled = scaled + _noise(key, x.shape, noise_shared_axis0, noise_bits)
+        scaled = scaled + _noise(key, x.shape, noise_shared_axis0,
+                                 noise_bits, fast=(backend == "xla_hash"))
         codes = jnp.floor(jnp.clip(scaled, -limit, limit - 1))
     else:
         codes = jnp.round(jnp.clip(scaled, -limit, limit - 1))

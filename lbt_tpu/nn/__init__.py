@@ -11,6 +11,7 @@ from lbt_tpu.nn.layers import (  # noqa: F401
     MaxPool,
     ReLU,
 )
-from lbt_tpu.nn.norm import BatchNorm, Normalization, Rescale  # noqa: F401
+from lbt_tpu.nn.norm import (  # noqa: F401
+    BatchNorm, FusedBatchNorm, Normalization, Rescale)
 from lbt_tpu.nn.blocks import ResidualBlock, ResidualBottleneck  # noqa: F401
 from lbt_tpu.nn.model import Model  # noqa: F401

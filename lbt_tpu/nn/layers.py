@@ -95,7 +95,7 @@ class Dense(Layer):
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits,
-                  backend="pallas" if cfg.engine == "pallas" else "xla")
+                  backend=cfg.quant_backend)
         y = qmatmul(
             x, params["W"],
             exp.get("x", _E0), exp.get("w", _E0), exp.get("grad", _E0),
@@ -186,7 +186,7 @@ class Conv2d(Layer):
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits,
-                  backend="pallas" if cfg.engine == "pallas" else "xla")
+                  backend=cfg.quant_backend)
         y = qconv2d(
             x, params["W"],
             exp.get("x", _E0), exp.get("w", _E0), exp.get("grad", _E0),
@@ -330,25 +330,26 @@ def _float0(x) -> np.ndarray:
     return np.zeros(aval.shape, dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
-def _gradbuf(x, bits, exp, keydata, buffer, stochastic, shared,
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+def _gradbuf(x, bits, exp, keydata, buffer, stochastic, shared, backend,
              sink_stats, sink_buffer):
     del exp, keydata, buffer, sink_stats, sink_buffer
     return x
 
 
-def _gradbuf_fwd(x, bits, exp, keydata, buffer, stochastic, shared,
+def _gradbuf_fwd(x, bits, exp, keydata, buffer, stochastic, shared, backend,
                  sink_stats, sink_buffer):
     return x, (exp, keydata, buffer)
 
 
-def _gradbuf_bwd(bits, stochastic, shared, res, g):
+def _gradbuf_bwd(bits, stochastic, shared, backend, res, g):
     exp, keydata, buffer = res
     total = g + buffer
     stats = overflow_rates(total, bits, exp)
     key = wrap_key(keydata) if stochastic else None
     gq = quantize(total, bits, exp, key,
-                  stochastic=stochastic, noise_shared_axis0=shared)
+                  stochastic=stochastic, noise_shared_axis0=shared,
+                  backend=backend)
     new_buffer = total - gq
     return (gq, _float0(exp), _float0(keydata), jnp.zeros_like(buffer),
             stats, new_buffer)
@@ -403,7 +404,8 @@ class GradientBuffer(Layer):
         y = _gradbuf(
             x, cfg.bits_g, qstate["exp"]["grad"], keydata,
             qstate["state"]["buffer"], cfg.stochastic,
-            cfg.noise_shared_axis0, sinks["grad"], sinks["buffer"],
+            cfg.noise_shared_axis0, cfg.quant_backend,
+            sinks["grad"], sinks["buffer"],
         )
         return y, qstate
 

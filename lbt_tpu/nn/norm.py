@@ -63,7 +63,7 @@ class Normalization(Layer):
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits,
-                  backend="pallas" if cfg.engine == "pallas" else "xla")
+                  backend=cfg.quant_backend)
 
         if "x" in exp:
             new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])
@@ -156,7 +156,7 @@ class Rescale(Layer):
         kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
                   noise_shared_axis0=cfg.noise_shared_axis0,
                   noise_bits=cfg.resolved_noise_bits,
-                  backend="pallas" if cfg.engine == "pallas" else "xla")
+                  backend=cfg.quant_backend)
 
         if "x" in exp:
             new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])
@@ -194,17 +194,145 @@ class Rescale(Layer):
         return f"rescale C={self.num_features} wd {self.weight_decay}"
 
 
-class BatchNorm(Sequential):
-    """Normalization + Rescale (reference BatchNorm_q,
-    dynamic_fixed_point.py:697-743)."""
+class FusedBatchNorm(Layer):
+    """Lean single-pass BN: quantize the input ONCE, normalize with batch
+    (or running) moments, apply the quantized affine, and place ONE
+    cotangent-quantization barrier at the output.
+
+    The reference pipeline (Normalization_q -> Rescale_q, reference
+    dynamic_fixed_point.py:539-743) quantizes the full activation twice
+    on the forward pass and the cotangent twice on the backward pass;
+    this fused form halves that noise/controller work.  Opt in via
+    ``QuantConfig(fused_bn=True)`` — a documented divergence from
+    reference semantics (accuracy parity validated in tests /
+    benchmarks/accuracy.py).
+    """
 
     def __init__(self, name: str, cfg: QuantConfig, num_features: int,
                  momentum: float = 0.999, eps: float = 1e-5,
                  weight_decay: float = 0.0):
-        super().__init__(name, [
-            Normalization("norm", cfg, num_features, momentum, eps),
-            Rescale("rescale", cfg, num_features, weight_decay),
-        ])
+        super().__init__(name, cfg)
+        self.num_features = num_features
+        self.momentum = momentum
+        self.eps = eps
+        self.weight_decay = weight_decay
+
+    def init(self, key):
+        cfg = self.cfg
+        params = {
+            "gamma": jnp.ones((self.num_features,), jnp.float32),
+            "beta": jnp.zeros((self.num_features,), jnp.float32),
+        }
+        exp = {}
+        if cfg.bits_a < 32:
+            exp["x"] = jnp.int32(cfg.initial_exponent)
+        if cfg.bits_b < 32:
+            exp["gamma"] = jnp.int32(cfg.initial_exponent)
+            exp["beta"] = jnp.int32(cfg.initial_exponent)
+        if cfg.bits_g < 32:
+            exp["grad"] = jnp.int32(cfg.initial_exponent)
+        state = {
+            "mean": jnp.zeros((self.num_features,), jnp.float32),
+            "var": jnp.ones((self.num_features,), jnp.float32),
+        }
+        return params, {"exp": exp, "state": state}
+
+    def sink_spec(self):
+        return {"grad": (2,)} if self.cfg.bits_g < 32 else {}
+
+    def decay_tree(self):
+        return {"gamma": self.weight_decay, "beta": 0.0}
+
+    def apply(self, params, qstate, sinks, x, ctx):
+        cfg = self.cfg
+        exp = qstate["exp"]
+        state = qstate["state"]
+        new_exp = dict(exp)
+        kw = dict(stochastic=cfg.stochastic and ctx.key is not None,
+                  noise_shared_axis0=cfg.noise_shared_axis0,
+                  noise_bits=cfg.resolved_noise_bits,
+                  backend=cfg.quant_backend)
+
+        if "x" in exp:
+            new_exp["x"] = self._ctrl(ctx, x, cfg.bits_a, exp["x"])
+        if "gamma" in exp:
+            new_exp["gamma"] = self._ctrl(
+                ctx, params["gamma"], cfg.bits_b, exp["gamma"])
+            new_exp["beta"] = self._ctrl(
+                ctx, params["beta"], cfg.bits_b, exp["beta"])
+
+        xq = quantize_ste(
+            x, cfg.bits_a, exp.get("x", _E0),
+            ctx.layer_key(self.uid, _SITE_X), **kw,
+        )
+        gq = quantize_ste(
+            params["gamma"], cfg.bits_b, exp.get("gamma", _E0),
+            ctx.layer_key(self.uid, _SITE_GAMMA), **kw,
+        )
+        bq = quantize_ste(
+            params["beta"], cfg.bits_b, exp.get("beta", _E0),
+            ctx.layer_key(self.uid, _SITE_BETA), **kw,
+        )
+
+        axes = tuple(range(x.ndim - 1))
+
+        def batch_moments():
+            mean = jnp.mean(xq, axes)
+            m2 = jnp.mean(jnp.square(xq), axes)
+            if ctx.psum_axis is not None:
+                mean = jax.lax.pmean(mean, ctx.psum_axis)
+                m2 = jax.lax.pmean(m2, ctx.psum_axis)
+            return mean, m2 - jnp.square(mean)
+
+        if ctx.train:
+            mean, var = batch_moments()
+        else:
+            mean, var = state["mean"], state["var"]
+
+        if ctx.update:
+            m = self.momentum
+            mean_b, var_b = (mean, var) if ctx.train else batch_moments()
+            new_state = {
+                "mean": m * state["mean"] + (1 - m) * mean_b,
+                "var": m * state["var"] + (1 - m) * var_b,
+            }
+        else:
+            new_state = state
+
+        y = (xq - mean) * (gq / jnp.sqrt(var + self.eps)) + bq
+
+        if cfg.bits_g < 32:
+            y = grad_quant_barrier(
+                y, cfg.bits_g, exp["grad"], sinks["grad"],
+                ctx.layer_key(self.uid, _SITE_G), **kw,
+            )
+        return y, {"exp": new_exp, "state": new_state}
+
+    def absorb_sinks(self, qstate, sink_cots):
+        return self._absorb_grad_site(qstate, sink_cots, self.cfg.bits_g)
+
+    def info(self):
+        return (f"fused-batchnorm C={self.num_features} "
+                f"wd {self.weight_decay}")
+
+
+class BatchNorm(Sequential):
+    """Normalization + Rescale (reference BatchNorm_q,
+    dynamic_fixed_point.py:697-743); ``cfg.fused_bn`` swaps in the lean
+    single-quantization :class:`FusedBatchNorm`."""
+
+    def __init__(self, name: str, cfg: QuantConfig, num_features: int,
+                 momentum: float = 0.999, eps: float = 1e-5,
+                 weight_decay: float = 0.0):
+        if cfg.fused_bn:
+            layers = [FusedBatchNorm(
+                "fused", cfg, num_features, momentum, eps, weight_decay)]
+        else:
+            layers = [
+                Normalization("norm", cfg, num_features, momentum, eps),
+                Rescale("rescale", cfg, num_features, weight_decay),
+            ]
+        super().__init__(name, layers)
 
     def info(self):
         return "batchnorm"

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from lbt_tpu.config import TrainConfig
 from lbt_tpu.nn.core import Ctx
 from lbt_tpu.nn.model import Model
-from lbt_tpu.parallel.lowbit import lowbit_allreduce
+from lbt_tpu.parallel.lowbit import lowbit_allreduce, ring_lowbit_allreduce
 from lbt_tpu.train.optim import apply_weight_decay, momentum_update
 
 AXIS = "data"
@@ -33,6 +33,7 @@ AXIS = "data"
 
 def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
                        lowbit_bits: Optional[int] = None,
+                       lowbit_wire: Optional[str] = None,
                        donate: bool = True):
     """Returns a jitted step:
 
@@ -41,8 +42,13 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
 
     ``ebuf`` are the per-leaf error-feedback buffers (zeros_like(params));
     ignored (threaded through) when ``lowbit_bits`` is None.
+
+    ``lowbit_wire``: None -> psum transport (int16 when exact, else
+    int32); 'int16'/'int8' -> explicit ppermute ring collective
+    (lbt_tpu/parallel/lowbit.py) at that wire width.
     """
     decay = model.decay_tree()
+    n_shards = mesh.shape[AXIS]
 
     def loss_fn(params, sinks, qstate, x, y, key):
         ctx = Ctx(train=True, key=key, update=True, psum_axis=AXIS)
@@ -65,8 +71,14 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
         new_qstate = model.absorb_sinks(new_qstate, sink_cots)
 
         if lowbit_bits is not None:
-            grads, new_ebuf = lowbit_allreduce(
-                grads, ebuf, AXIS, bits=lowbit_bits, reduce="sum")
+            if lowbit_wire is not None:
+                grads, new_ebuf = ring_lowbit_allreduce(
+                    grads, ebuf, AXIS, n_shards, bits=lowbit_bits,
+                    wire=lowbit_wire, reduce="sum")
+            else:
+                grads, new_ebuf = lowbit_allreduce(
+                    grads, ebuf, AXIS, bits=lowbit_bits, reduce="sum",
+                    num_shards=n_shards)
         else:
             grads = jax.lax.psum(grads, AXIS)
             new_ebuf = ebuf

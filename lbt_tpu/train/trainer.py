@@ -71,7 +71,8 @@ class Trainer:
                 "batch_size must divide across devices")
             self.train_step = make_dp_train_step(
                 model, tc, self.mesh,
-                lowbit_bits=8 if tc.lowbit_allreduce else None)
+                lowbit_bits=8 if tc.lowbit_allreduce else None,
+                lowbit_wire=tc.lowbit_wire)
         else:
             self.train_step = make_train_step(model, tc)
         faithful = bool(model.cfg and model.cfg.faithful_eval)

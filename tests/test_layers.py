@@ -228,3 +228,67 @@ def test_bottleneck_expansion():
         np.float32)
     y, _ = b.apply(params, qstate, sinks, x, Ctx(True, jax.random.key(1)))
     assert y.shape == (2, 4, 4, 256)
+
+
+def test_fused_batchnorm_matches_split_at_fp32():
+    import dataclasses
+    base = QuantConfig.fp32()
+    x = np.random.default_rng(9).normal(1.0, 0.7, (16, 4, 4, 3)).astype(
+        np.float32)
+    outs = []
+    for fused in (False, True):
+        cfg = dataclasses.replace(base, fused_bn=fused)
+        bn = BatchNorm("bn", cfg, 3)
+        params, qstate, sinks = _setup(bn)
+        y, _ = bn.apply(params, qstate, sinks, x, Ctx(True, None))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
+
+
+def test_fused_batchnorm_quantized_close_to_split():
+    # one fewer quantization -> not identical, but within a quant step
+    cfg_split = QuantConfig.uniform(8, **DET)
+    import dataclasses
+    cfg_fused = dataclasses.replace(cfg_split, fused_bn=True)
+    x = np.random.default_rng(10).normal(0.5, 0.5, (32, 4, 4, 3)).astype(
+        np.float32)
+    ys = []
+    for cfg in (cfg_split, cfg_fused):
+        bn = BatchNorm("bn", cfg, 3)
+        params, qstate, sinks = _setup(bn)
+        y, _ = bn.apply(params, qstate, sinks, x,
+                        Ctx(True, jax.random.key(0)))
+        ys.append(np.asarray(y))
+    step = 2.0 ** -(8 - 1 - 2)  # exp 2 grid
+    assert np.max(np.abs(ys[0] - ys[1])) <= step + 1e-6
+
+
+def test_fused_batchnorm_trains():
+    import dataclasses
+    from lbt_tpu.config import TrainConfig
+    from lbt_tpu.nn import Conv2d, Dense, Flatten, ReLU
+    from lbt_tpu.nn.model import Model
+    from lbt_tpu.train.optim import momentum_init
+    from lbt_tpu.train.step import make_train_step
+    cfg = dataclasses.replace(QuantConfig.uniform(8), fused_bn=True)
+    model = Model("toy", [
+        Conv2d("c1", cfg, (3, 3, 3, 8), use_bias=False),
+        BatchNorm("bn1", cfg, 8),
+        ReLU(),
+        Flatten(),
+        Dense("d1", cfg, 8 * 8 * 8, 4),
+    ], input_shape=(8, 8, 3), num_classes=4, cfg=cfg)
+    tc = TrainConfig(lr=0.05, batch_size=32)
+    step_fn = make_train_step(model, tc)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (32, 8, 8, 3)).astype(np.float32)
+    y = rng.integers(0, 4, (32,)).astype(np.int32)
+    losses = []
+    for i in range(30):
+        params, qstate, vel, m = step_fn(
+            params, qstate, vel, x, y, i, jnp.float32(0.05),
+            jax.random.key(1))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6, losses[::10]

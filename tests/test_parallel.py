@@ -202,3 +202,58 @@ def test_trainer_data_parallel_end_to_end():
     # error buffers live
     assert any(float(jnp.max(jnp.abs(b))) > 0
                for b in jax.tree.leaves(tr.ebuf))
+
+
+def test_ring_lowbit_int16_matches_psum():
+    """int16-wire ring all-reduce is bit-identical to the psum variant."""
+    from lbt_tpu.parallel.lowbit import ring_lowbit_allreduce
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(4)
+    g = {"w": rng.normal(0, 1e-2, (8, 40)).astype(np.float32),
+         "b": rng.normal(0, 1e-3, (8, 7)).astype(np.float32)}
+    buf = jax.tree.map(jnp.zeros_like, g)
+
+    def ring(g, buf):
+        return ring_lowbit_allreduce(g, buf, "data", 8, bits=8,
+                                     wire="int16", reduce="mean")
+
+    def psum(g, buf):
+        return lowbit_allreduce(g, buf, "data", bits=8, reduce="mean",
+                                num_shards=8)
+
+    specs = dict(in_specs=(P("data"), P("data")),
+                 out_specs=(P(), P("data")), check_vma=False)
+    r_mean, r_res = jax.jit(jax.shard_map(ring, mesh=mesh, **specs))(g, buf)
+    p_mean, p_res = jax.jit(jax.shard_map(psum, mesh=mesh, **specs))(g, buf)
+    for a, b in zip(jax.tree.leaves(r_mean), jax.tree.leaves(p_mean)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(r_res), jax.tree.leaves(p_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ring_lowbit_int8_wire_unbiased():
+    """int8-wire ring (log2 N coarser grid): bounded error per step,
+    unbiased over time through the error feedback."""
+    from lbt_tpu.parallel.lowbit import ring_lowbit_allreduce
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(5)
+    shard_grads = rng.normal(0, 1e-3, (8, 32)).astype(np.float32)
+    true_mean = shard_grads.mean(axis=0)
+
+    def step(g, buf):
+        m, r = ring_lowbit_allreduce({"w": g}, {"w": buf}, "data", 8,
+                                     bits=8, wire="int8", reduce="mean")
+        return m["w"], r["w"]
+
+    f = jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P(), P("data")), check_vma=False))
+    buf = jnp.zeros((8, 32), jnp.float32)
+    acc = np.zeros(32, np.float64)
+    g_dev = jnp.asarray(shard_grads)
+    T = 50
+    for t in range(T):
+        mean, buf = f(g_dev, buf)
+        acc += np.asarray(mean).reshape(-1)[:32]
+    drift = np.abs(acc / T - true_mean).max()
+    assert drift < 1e-4, drift

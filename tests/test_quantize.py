@@ -145,3 +145,54 @@ def test_controller_target_rate():
     assert int(update_exponent(jnp.int32(0), rates, 8, 0.1)) == -1
     assert int(update_exponent(jnp.int32(0), rates, 8, 0.03)) == 0
     assert int(update_exponent(jnp.int32(0), rates, 8, 0.01)) == 1
+
+
+# ---------------------------------------------------------------------------
+# hash-noise fast path (noise_mode='hash', backend='xla_hash')
+# ---------------------------------------------------------------------------
+
+
+def test_hash_noise_uniformity():
+    from lbt_tpu.dfxp.quantize import _hash_uniform
+    u = np.asarray(_hash_uniform(jax.random.key(3), (1 << 16,)))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    np.testing.assert_allclose(u.mean(), 0.5, atol=5e-3)
+    np.testing.assert_allclose(u.var(), 1.0 / 12.0, atol=5e-3)
+    # adjacent-element and lagged correlation must be negligible
+    for lag in (1, 2, 128):
+        c = np.corrcoef(u[:-lag], u[lag:])[0, 1]
+        assert abs(c) < 0.02, (lag, c)
+    # equidistribution across 256 bins (chi-square well under blowup)
+    counts = np.bincount((u * 256).astype(np.int64), minlength=256)
+    expected = u.size / 256
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    assert chi2 < 400, chi2  # dof=255, p~1e-8 cutoff
+
+
+def test_hash_noise_keys_decorrelate():
+    from lbt_tpu.dfxp.quantize import _hash_uniform
+    u1 = np.asarray(_hash_uniform(jax.random.key(0), (4096,)))
+    u2 = np.asarray(_hash_uniform(jax.random.key(1), (4096,)))
+    np.testing.assert_array_equal(
+        u1, np.asarray(_hash_uniform(jax.random.key(0), (4096,))))
+    assert abs(np.corrcoef(u1, u2)[0, 1]) < 0.05
+
+
+def test_hash_stochastic_rounding_unbiased():
+    # E_key[q(x)] -> x for values strictly inside the grid
+    x = np.linspace(-1.9, 1.9, 257).astype(np.float32)
+    acc = np.zeros_like(x, np.float64)
+    n = 200
+    for i in range(n):
+        acc += np.asarray(quantize(
+            x, 8, jnp.int32(2), jax.random.key(i), stochastic=True,
+            backend="xla_hash"))
+    step = 2.0 ** -(8 - 1 - 2)
+    np.testing.assert_allclose(acc / n, x, atol=0.3 * step)
+
+
+def test_hash_backend_matches_xla_when_deterministic():
+    x = np.random.default_rng(11).normal(0, 1, (64, 64)).astype(np.float32)
+    a = np.asarray(quantize(x, 8, jnp.int32(2), backend="xla"))
+    b = np.asarray(quantize(x, 8, jnp.int32(2), backend="xla_hash"))
+    np.testing.assert_array_equal(a, b)

@@ -46,9 +46,10 @@ def test_piecewise_lr_schedule():
     assert piecewise_lr(0.01, 0.1, (80, 120, 140), 159) == pytest.approx(1e-5)
 
 
-@pytest.mark.parametrize("engine", ["sim", "int8"])
-def test_loss_decreases_dense_net(engine):
-    cfg = QuantConfig.uniform(8, engine=engine)
+@pytest.mark.parametrize("engine,noise_mode", [
+    ("sim", "prng"), ("int8", "prng"), ("int8", "hash")])
+def test_loss_decreases_dense_net(engine, noise_mode):
+    cfg = QuantConfig.uniform(8, engine=engine, noise_mode=noise_mode)
     from lbt_tpu.nn import Dense, ReLU
     from lbt_tpu.nn.model import Model
     model = Model("toy", [
