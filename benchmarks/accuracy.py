@@ -24,9 +24,17 @@ from lbt_tpu.utils.logging import get_logger
 
 
 def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
-        engine: str) -> dict:
+        engine: str, noise_mode: str = "prng",
+        fused_bn: bool = False, bn_momentum: float = 0.99) -> dict:
+    import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
-           else QuantConfig.uniform(bits, engine=engine))
+           else dataclasses.replace(
+               QuantConfig.uniform(bits, engine=engine,
+                                   noise_mode=noise_mode),
+               fused_bn=fused_bn))
+    # short-horizon runs need a faster BN EMA or eval sees stale running
+    # stats (the reference's 0.999 is tuned for ~250k updates)
+    cfg = dataclasses.replace(cfg, bn_momentum=bn_momentum)
     model = build_model(model_name, cfg, weight_decay=tc.weight_decay)
     trainer = Trainer(model, tc, data, augment=augment,
                       logger=get_logger())
@@ -51,6 +59,10 @@ def main():
     ap.add_argument("--bits", type=int, nargs="*", default=[8, 32])
     ap.add_argument("--warmup_epochs", type=int, default=0)
     ap.add_argument("--engine", default="int8")
+    ap.add_argument("--noise_mode", default="prng")
+    ap.add_argument("--fused_bn", action="store_true")
+    ap.add_argument("--tag", default="")
+    ap.add_argument("--bn_momentum", type=float, default=0.99)
     args = ap.parse_args()
     for b in args.bits:
         if not 1 <= b <= 32:
@@ -74,7 +86,10 @@ def main():
         "runs": [],
     }
     for bits in args.bits:
-        r = run(args.model, bits, tc, data, augment, args.engine)
+        r = run(args.model, bits, tc, data, augment, args.engine,
+                args.noise_mode, args.fused_bn, args.bn_momentum)
+        r["noise_mode"] = args.noise_mode
+        r["fused_bn"] = args.fused_bn
         print(f"bits={bits}: final top-1 {r['final']['accuracy']:.4f} "
               f"loss {r['final']['loss']:.4f}", flush=True)
         results["runs"].append(r)
@@ -86,8 +101,9 @@ def main():
             for b, a in accs.items():
                 if b != 32:
                     results[f"gap_bits{b}_vs_fp32"] = accs[32] - a
+    suffix = f"_{args.tag}" if args.tag else ""
     out = os.path.join(os.path.dirname(__file__),
-                       f"accuracy_{args.model}.json")
+                       f"accuracy_{args.model}{suffix}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print("wrote", out, flush=True)

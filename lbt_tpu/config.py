@@ -70,6 +70,12 @@ class QuantConfig:
     #   'pallas' - like 'int8' but with hand-written fused Pallas kernels
     #            for the hot ops.
     engine: str = "int8"
+    # BatchNorm running-statistics EMA momentum.  The reference hard-codes
+    # 0.999 (reference dynamic_fixed_point.py:602-614) — tuned for its
+    # 160-epoch recipe (~250k updates); the EMA needs ~2/(1-m) updates to
+    # converge, so short runs must lower this or eval sees stale stats
+    # (benchmarks/BENCH_NOTES.md "BN EMA staleness").
+    bn_momentum: float = 0.999
     # Lean fused BatchNorm: one layer computing normalize+affine with a
     # SINGLE input quantization and ONE cotangent-quantization barrier.
     # The reference quantizes the BN input twice (Normalization_q then

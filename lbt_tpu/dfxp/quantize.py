@@ -44,7 +44,7 @@ EXP_MIN = -110
 
 def multiplier(bits: int, exp: jax.Array) -> jax.Array:
     """2**(bits - 1 - exp) as an exact float32 power of two."""
-    e = jnp.asarray(bits - 1, jnp.int32) - exp.astype(jnp.int32)
+    e = jnp.asarray(bits - 1, jnp.int32) - jnp.asarray(exp, jnp.int32)
     return jnp.ldexp(jnp.float32(1.0), e)
 
 

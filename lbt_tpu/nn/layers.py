@@ -30,7 +30,7 @@ from lbt_tpu.ops.qops import qconv2d, qmatmul
 # PRNG site indices (folded into the layer key)
 _SITE_X, _SITE_W, _SITE_B, _SITE_G, _SITE_DROP = range(5)
 
-_E0 = jnp.int32(0)  # dummy exponent for absent sites
+_E0 = 0  # dummy exponent for absent sites (plain int: no backend init at import)
 
 
 def _init_exps(cfg: QuantConfig, sites) -> dict:

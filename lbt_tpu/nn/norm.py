@@ -13,7 +13,7 @@ from lbt_tpu.dfxp.quantize import quantize_ste
 from lbt_tpu.nn.core import Layer, Sequential
 
 _SITE_X, _SITE_GAMMA, _SITE_BETA, _SITE_G = range(4)
-_E0 = jnp.int32(0)
+_E0 = 0  # plain int: importing the package must not init the JAX backend
 
 
 class Normalization(Layer):
@@ -32,10 +32,10 @@ class Normalization(Layer):
     """
 
     def __init__(self, name: str, cfg: QuantConfig, num_features: int,
-                 momentum: float = 0.999, eps: float = 1e-5):
+                 momentum: float = None, eps: float = 1e-5):
         super().__init__(name, cfg)
         self.num_features = num_features
-        self.momentum = momentum
+        self.momentum = cfg.bn_momentum if momentum is None else momentum
         self.eps = eps
 
     def init(self, key):
@@ -209,11 +209,11 @@ class FusedBatchNorm(Layer):
     """
 
     def __init__(self, name: str, cfg: QuantConfig, num_features: int,
-                 momentum: float = 0.999, eps: float = 1e-5,
+                 momentum: float = None, eps: float = 1e-5,
                  weight_decay: float = 0.0):
         super().__init__(name, cfg)
         self.num_features = num_features
-        self.momentum = momentum
+        self.momentum = cfg.bn_momentum if momentum is None else momentum
         self.eps = eps
         self.weight_decay = weight_decay
 
@@ -322,7 +322,7 @@ class BatchNorm(Sequential):
     single-quantization :class:`FusedBatchNorm`."""
 
     def __init__(self, name: str, cfg: QuantConfig, num_features: int,
-                 momentum: float = 0.999, eps: float = 1e-5,
+                 momentum: float = None, eps: float = 1e-5,
                  weight_decay: float = 0.0):
         if cfg.fused_bn:
             layers = [FusedBatchNorm(

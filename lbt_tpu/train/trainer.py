@@ -153,13 +153,20 @@ class Trainer:
             self.velocity = momentum_init(self.params)
             self.logger.info("Reset momentum slots (faithful mode)")
 
+        # DP: land each shard directly on its device during the prefetch
+        # device_put (no gather/redistribute inside the step)
+        placement = None
+        if self.dp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            placement = NamedSharding(self.mesh, P("data"))
         if self.native is not None:
-            batches = device_prefetch(self.native.epoch(epoch))
+            batches = device_prefetch(self.native.epoch(epoch),
+                                      device=placement)
         else:
             xtr, ytr = self.dataset["train"]
             batches = device_prefetch(
                 batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
-                               epoch=epoch))
+                               epoch=epoch), device=placement)
         lr_dev = jnp.float32(lr)
         last = {}
         t0, n_img = time.time(), 0

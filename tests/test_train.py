@@ -264,3 +264,32 @@ def test_warmup_schedule():
         pytest.approx(0.1)
     assert piecewise_lr(0.1, 0.1, (80,), 100, warmup_epochs=4) == \
         pytest.approx(0.01)
+
+
+def test_vgg16_cifar100_int4w_int8a_trains():
+    """BASELINE config 3: VGG-16/CIFAR-100 with INT4 weights / INT8
+    activations, end-to-end through the Trainer."""
+    cfg = QuantConfig(bits_w=4, bits_a=8, bits_b=8, bits_g=8,
+                      engine="int8")
+    model = build_model("VGG16_CIFAR100", cfg)
+    tc = TrainConfig(lr=0.01, batch_size=16, n_epoch=1, log_every=1000)
+    data = load_dataset("cifar100", n_train=64, n_test=32)
+    trainer = Trainer(model, tc, data)
+    l0 = trainer.evaluate()["loss"]
+    trainer.train_epoch(0)
+    ev = trainer.evaluate()
+    assert np.isfinite(ev["loss"])
+    assert ev["loss"] < l0, (l0, ev)
+
+
+def test_resnet50_imagenet_subset_trains():
+    """BASELINE config 4 (tiny slice): ResNet-50 at 224x224, full DFXP
+    low-bit loop end-to-end through the Trainer."""
+    cfg = QuantConfig.uniform(8, engine="int8")
+    model = build_model("Imagenet_Resnet50", cfg)
+    tc = TrainConfig(lr=0.01, batch_size=4, n_epoch=1, log_every=1000)
+    data = load_dataset("imagenet", n_train=16, n_test=8)
+    trainer = Trainer(model, tc, data)
+    trainer.train_epoch(0)
+    ev = trainer.evaluate()
+    assert np.isfinite(ev["loss"])
