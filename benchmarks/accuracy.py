@@ -55,7 +55,7 @@ def main():
     ap.add_argument("--n_train", type=int, default=10000)
     ap.add_argument("--n_test", type=int, default=2000)
     ap.add_argument("--batch_size", type=int, default=128)
-    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--bits", type=int, nargs="*", default=[8, 32])
     ap.add_argument("--warmup_epochs", type=int, default=0)
     ap.add_argument("--engine", default="int8")

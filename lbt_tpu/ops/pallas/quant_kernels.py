@@ -151,75 +151,43 @@ def quantize_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _qmm_kernel(mx_ref, mw_ref, seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
-                bits_x, bits_w, stochastic, k_tiles):
-    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _mm_int8_kernel(inv_ref, x_ref, w_ref, o_ref, acc_ref, *, k_tiles):
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    limit_x = float(2 ** (bits_x - 1))
-    limit_w = float(2 ** (bits_w - 1))
-    if stochastic:
-        # seed must not depend on j for x tiles / on i for w tiles, so a
-        # tile re-quantized for another output block gets identical noise
-        pltpu.prng_seed(seed_ref[0], i, k)
-    xq = _quantize_block(x_ref[:], mx_ref[0], limit_x, stochastic)
-    if stochastic:
-        pltpu.prng_seed(seed_ref[0] + 0x9E37, k, j)
-    wq = _quantize_block(w_ref[:], mw_ref[0], limit_w, stochastic)
-
     acc_ref[:] += jax.lax.dot_general(
-        xq.astype(jnp.int8), wq.astype(jnp.int8),
-        (((1,), (0,)), ((), ())),
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
     @pl.when(k == k_tiles - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(jnp.float32) / (mx_ref[0] * mw_ref[0])
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * inv_ref[0]
 
 
-def qmatmul_pallas(
-    x: jax.Array,
-    w: jax.Array,
-    exp_x: jax.Array,
-    exp_w: jax.Array,
-    *,
-    bits_x: int,
-    bits_w: int,
-    seed: Optional[jax.Array] = None,
-    stochastic: bool = False,
-    tm: int = 256,
-    tk: int = 256,
-    tn: int = 256,
-) -> jax.Array:
-    """Fused DFXP matmul: quantize both f32 operands to int8 in VMEM, MXU
-    int8 x int8 -> int32, dequantize the output tile.  Codes never touch
-    HBM.  Requires ``bits_x, bits_w <= 8``."""
-    assert bits_x <= 8 and bits_w <= 8
-    m, kdim = x.shape
-    k2, n = w.shape
+def matmul_int8_pallas(xq: jax.Array, wq: jax.Array, inv_scale: jax.Array,
+                       *, tm: int = 512, tk: int = 512,
+                       tn: int = 512) -> jax.Array:
+    """int8 x int8 -> int32 MXU matmul with the dequant fused into the
+    final K step.  Operands are int8 codes; ``inv_scale`` is the scalar
+    ``1 / (mult_x * mult_w)``."""
+    m, kdim = xq.shape
+    k2, n = wq.shape
     assert kdim == k2
+    tm, tk, tn = min(tm, _round_up(m, 128)), min(tk, _round_up(kdim, 128)), \
+        min(tn, _round_up(n, 128))
     mp, kp, np_ = _round_up(m, tm), _round_up(kdim, tk), _round_up(n, tn)
-    xp = jnp.pad(x, ((0, mp - m), (0, kp - kdim)))
-    wp = jnp.pad(w, ((0, kp - kdim), (0, np_ - n)))
-
-    mx = multiplier(bits_x, exp_x).reshape(1)
-    mw = multiplier(bits_w, exp_w).reshape(1)
-    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
-                else seed.reshape(1).astype(jnp.int32))
+    xp = jnp.pad(xq, ((0, mp - m), (0, kp - kdim)))
+    wp = jnp.pad(wq, ((0, kp - kdim), (0, np_ - n)))
     k_tiles = kp // tk
 
     out = pl.pallas_call(
-        functools.partial(
-            _qmm_kernel, bits_x=bits_x, bits_w=bits_w,
-            stochastic=stochastic, k_tiles=k_tiles),
+        functools.partial(_mm_int8_kernel, k_tiles=k_tiles),
         grid=(mp // tm, np_ // tn, k_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
@@ -235,8 +203,47 @@ def qmatmul_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
-            bytes_accessed=(mp * kp + kp * np_) * 4 + mp * np_ * 4,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_ * 4,
             transcendentals=0,
         ),
-    )(mx, mw, seed_arr, xp, wp)
+    )(inv_scale.reshape(1), xp, wp)
     return out[:m, :n]
+
+
+def qmatmul_pallas(
+    x: jax.Array,
+    w: jax.Array,
+    exp_x: jax.Array,
+    exp_w: jax.Array,
+    *,
+    bits_x: int,
+    bits_w: int,
+    seed: Optional[jax.Array] = None,
+    stochastic: bool = False,
+    tm: int = 512,
+    tk: int = 512,
+    tn: int = 512,
+) -> jax.Array:
+    """Fused DFXP matmul on int8 codes.
+
+    v2 (see benchmarks/BENCH_NOTES.md): v1 quantized each x tile once
+    per N block and each w tile once per M block *inside* the matmul
+    grid, streaming the f32 operands from HBM on every visit — the
+    redundant VPU quantize work plus 4-byte operand traffic made it
+    2.4x slower than XLA's int8 dot.  v2 quantizes each operand exactly
+    once in a bandwidth-bound pass (hardware-PRNG stochastic rounding),
+    materializes the int8 codes (1 byte/elem, the matmul's steady-state
+    traffic), and runs a clean int8 MXU kernel with 512-tiles and the
+    dequant fused into the final K step.
+    """
+    assert bits_x <= 8 and bits_w <= 8
+    seed_x = seed_w = None
+    if stochastic and seed is not None:
+        seed_x = seed.reshape(()).astype(jnp.int32)
+        seed_w = seed_x ^ jnp.int32(0x9E37)
+    xq, mx = quantize_pallas(x, bits_x, exp_x, seed_x,
+                             stochastic=stochastic)
+    wq, mw = quantize_pallas(w, bits_w, exp_w, seed_w,
+                             stochastic=stochastic)
+    inv = 1.0 / (mx * mw)
+    return matmul_int8_pallas(xq, wq, inv, tm=tm, tk=tk, tn=tn)

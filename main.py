@@ -40,6 +40,18 @@ def parse_args():
     p.add_argument("--target_overflow_rate", type=float, default=0.0)
     p.add_argument("--deterministic_rounding", action="store_true",
                    help="round-to-nearest-even instead of stochastic")
+    p.add_argument("--noise_mode", type=str, default="prng",
+                   choices=["prng", "hash"],
+                   help="stochastic-rounding noise source: jax.random "
+                        "threefry ('prng') or the fused counter hash "
+                        "('hash', ~2x faster; benchmarks/BENCH_NOTES.md)")
+    p.add_argument("--fused_bn", action="store_true",
+                   help="lean fused BatchNorm: one input quantization + "
+                        "one cotangent barrier (divergence from "
+                        "reference's norm+rescale double quantization)")
+    p.add_argument("--bn_momentum", type=float, default=0.999,
+                   help="BN running-stats EMA momentum (reference 0.999; "
+                        "lower for short runs or eval sees stale stats)")
     # faithful-mode quirk toggles (SURVEY.md §7)
     p.add_argument("--faithful_eval", action="store_true")
     p.add_argument("--noise_shared_axis0", action="store_true")
@@ -76,6 +88,10 @@ def parse_args():
     p.add_argument("--lowbit_allreduce", action="store_true",
                    help="DFXP-int8 error-feedback gradient all-reduce "
                         "(implies --data_parallel)")
+    p.add_argument("--lowbit_wire", type=str, default=None,
+                   choices=["int16", "int8"],
+                   help="use the explicit ppermute ring collective at "
+                        "this wire width instead of the psum transport")
     p.add_argument("--gradient_buffer", action="store_true",
                    help="insert error-feedback GradientBuffers at the "
                         "reference's ResNet sites")
@@ -118,7 +134,10 @@ def main():
             target_overflow_rate=args.target_overflow_rate,
             stochastic=not args.deterministic_rounding,
             noise_shared_axis0=args.noise_shared_axis0,
+            noise_mode=args.noise_mode,
             engine=args.engine,
+            fused_bn=args.fused_bn,
+            bn_momentum=args.bn_momentum,
             faithful_eval=args.faithful_eval,
         )
     tc = TrainConfig(
@@ -135,6 +154,7 @@ def main():
         checkpoint_dir=os.path.join(exp, "ckpt"),
         data_parallel=args.data_parallel or args.lowbit_allreduce,
         lowbit_allreduce=args.lowbit_allreduce,
+        lowbit_wire=args.lowbit_wire,
     )
 
     model_kw = dict(dropout_keep=args.dropout,

@@ -282,6 +282,9 @@ def test_vgg16_cifar100_int4w_int8a_trains():
     assert ev["loss"] < l0, (l0, ev)
 
 
+@pytest.mark.skipif(not os.environ.get("LBT_SLOW_TESTS"),
+                    reason="~8 min on CPU; set LBT_SLOW_TESTS=1 "
+                           "(verified in round logs)")
 def test_resnet50_imagenet_subset_trains():
     """BASELINE config 4 (tiny slice): ResNet-50 at 224x224, full DFXP
     low-bit loop end-to-end through the Trainer."""
