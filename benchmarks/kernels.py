@@ -72,6 +72,12 @@ def main():
     except Exception as e:  # pallas may be unavailable off-TPU
         results["pallas_stochastic_quantize_4kx4k"] = {"error": str(e)[:80]}
 
+    # hash-noise stochastic fake-quant (the fused fast path)
+    f_hq = jax.jit(lambda v, k: quantize(
+        v, 8, E(2), k, stochastic=True, backend="xla_hash"))
+    dt = timeit(f_hq, x, key, iters=args.iters)
+    results["hash_stochastic_fakequant_4kx4k"] = {"ms": dt * 1e3}
+
     # quantized matmul: int8 engine vs float sim
     m = k = n = 4096
     a = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
@@ -84,6 +90,20 @@ def main():
         dt = timeit(f, a, b, iters=args.iters)
         results[f"qmatmul_{engine}_4k"] = {
             "ms": dt * 1e3, "TOPS": flops / dt / 1e12}
+
+    # Pallas v2: quantize-once passes + 512-tile int8 MXU kernel
+    try:
+        from lbt_tpu.ops.pallas import qmatmul_pallas
+        for stoch in (False, True):
+            f = jax.jit(lambda a, b, s=stoch: qmatmul_pallas(
+                a, b, E(2), E(2), bits_x=8, bits_w=8,
+                seed=jnp.int32(3) if s else None, stochastic=s))
+            dt = timeit(f, a, b, iters=args.iters)
+            tag = "stoch" if stoch else "det"
+            results[f"qmatmul_pallas_v2_{tag}_4k"] = {
+                "ms": dt * 1e3, "TOPS": flops / dt / 1e12}
+    except Exception as e:
+        results["qmatmul_pallas_v2_4k"] = {"error": str(e)[:80]}
 
     # quantized conv: resnet-ish shapes
     xc = jnp.asarray(rng.normal(0, 1, (256, 32, 32, 64)), jnp.float32)

@@ -7,8 +7,9 @@ model deploys as:
 * a jitted predict function (int8 forward on the MXU, running-stat BN,
   dropout off, deterministic quantization — the serving-grade config);
 * an exported artifact of *integer weight codes* + exponents: weights
-  ship as int8 (4x smaller than f32) plus one int32 exponent per tensor,
-  and are bit-exactly reconstructible onto the DFXP grid.
+  ship as int8 (4x smaller than f32), or nibble-packed uint8 for <=4-bit
+  schemes (8x smaller), plus one int32 exponent per tensor, and are
+  bit-exactly reconstructible onto the DFXP grid.
 """
 
 from __future__ import annotations
@@ -50,9 +51,32 @@ def make_predict_fn(model: Model, return_probs: bool = False):
 
 @dataclasses.dataclass
 class QuantizedLeaf:
-    codes: jax.Array   # int8 (bits<=8) or int32
+    codes: jax.Array   # int8 (bits<=8) or int32; uint8 nibble-pairs when packed
     exp: jax.Array     # int32 scalar
     bits: int
+    # bits <= 4: two offset-binary codes per byte (8x smaller than f32)
+    packed: bool = False
+    shape: Tuple[int, ...] = ()
+
+
+def _pack4(codes: jax.Array) -> jax.Array:
+    """int codes in [-2^(b-1), 2^(b-1)-1], b <= 4 -> uint8 nibble pairs
+    (offset-binary, code + 8)."""
+    flat = (codes.reshape(-1) + 8).astype(jnp.uint8)
+    if flat.size % 2:
+        flat = jnp.pad(flat, (0, 1))
+    pair = flat.reshape(-1, 2)
+    return pair[:, 0] | (pair[:, 1] << 4)
+
+
+def _unpack4(packed: jax.Array, shape) -> jax.Array:
+    lo = (packed & 0xF).astype(jnp.int32) - 8
+    hi = (packed >> 4).astype(jnp.int32) - 8
+    flat = jnp.stack([lo, hi], axis=1).reshape(-1)
+    n = 1
+    for d in shape:
+        n *= d
+    return flat[:n].reshape(shape)
 
 
 def export_quantized_weights(model: Model, params, qstate) -> Dict:
@@ -79,6 +103,11 @@ def export_quantized_weights(model: Model, params, qstate) -> Dict:
                 if site is not None and site in exps:
                     bits = bits_of[k]
                     codes, _ = quantize_int(v, bits, exps[site])
+                    if bits <= 4:
+                        out[k] = QuantizedLeaf(
+                            _pack4(codes), exps[site], bits,
+                            packed=True, shape=tuple(v.shape))
+                        continue
                     if bits <= 8:
                         codes = codes.astype(jnp.int8)
                     out[k] = QuantizedLeaf(codes, exps[site], bits)
@@ -95,8 +124,9 @@ def restore_quantized_weights(exported) -> Dict:
 
     def walk(node):
         if isinstance(node, QuantizedLeaf):
-            return dequantize(node.codes.astype(jnp.int32),
-                              multiplier(node.bits, node.exp))
+            codes = (_unpack4(node.codes, node.shape) if node.packed
+                     else node.codes.astype(jnp.int32))
+            return dequantize(codes, multiplier(node.bits, node.exp))
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}
         return node
@@ -112,7 +142,12 @@ def exported_nbytes(exported) -> Tuple[int, int]:
         nonlocal qb, fb
         if isinstance(node, QuantizedLeaf):
             qb += node.codes.size * node.codes.dtype.itemsize + 4
-            fb += node.codes.size * 4
+            n = node.codes.size
+            if node.packed:
+                n = 1
+                for d in node.shape:
+                    n *= d
+            fb += n * 4
         elif isinstance(node, dict):
             for v in node.values():
                 walk(v)

@@ -49,20 +49,19 @@ def _to_scalar(v):
 
 
 class MetricsWriter:
-    """JSONL metrics writer (+ optional TensorBoard mirror)."""
+    """JSONL metrics writer + TensorBoard mirror (dependency-free event
+    files via lbt_tpu.utils.tb, mirroring the reference's scalar
+    summaries, reference trainer.py:66-73)."""
 
-    def __init__(self, logdir: Optional[str], tensorboard: bool = False):
+    def __init__(self, logdir: Optional[str], tensorboard: bool = True):
         self._f = None
         self._tb = None
         if logdir:
             os.makedirs(logdir, exist_ok=True)
             self._f = open(os.path.join(logdir, "metrics.jsonl"), "a")
             if tensorboard:
-                try:
-                    import tensorflow as tf  # optional
-                    self._tb = tf.summary.create_file_writer(logdir)
-                except Exception:
-                    self._tb = None
+                from lbt_tpu.utils.tb import EventWriter
+                self._tb = EventWriter(logdir)
 
     def write(self, step: int, metrics: Dict[str, Any], prefix: str = ""):
         if self._f is None:
@@ -74,12 +73,10 @@ class MetricsWriter:
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
         if self._tb is not None:
-            import tensorflow as tf
-            with self._tb.as_default():
-                for k, v in row.items():
-                    if k not in ("step", "time") and isinstance(
-                            v, (int, float)):
-                        tf.summary.scalar(k, v, step=step)
+            self._tb.scalars(step, {
+                k: v for k, v in row.items()
+                if k not in ("step", "time") and isinstance(v, (int, float))
+            })
 
     def write_exponents(self, step: int, qstate, prefix: str = "exp/"):
         """Per-tensor exponent trajectories (the reference's *_range
@@ -98,3 +95,5 @@ class MetricsWriter:
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb:
+            self._tb.close()

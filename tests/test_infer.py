@@ -71,3 +71,22 @@ def test_predictor_from_checkpoint(tmp_path):
     labels = np.asarray(p(x[:16]))
     assert labels.shape == (16,)
     assert set(labels.tolist()) <= set(range(10))
+
+
+def test_int4_packed_export_roundtrip():
+    from lbt_tpu.infer import (export_quantized_weights, exported_nbytes,
+                               restore_quantized_weights)
+    cfg = QuantConfig(bits_w=4, bits_a=8, bits_b=8, bits_g=8)
+    model = build_model("PI_MNIST", cfg)
+    params, qstate = model.init(jax.random.key(0))
+    exported = export_quantized_weights(model, params, qstate)
+    restored = restore_quantized_weights(exported)
+    # restored W lies exactly on the 4-bit grid the forward pass uses
+    from lbt_tpu.dfxp.quantize import quantize
+    for name in ("dense1", "dense2"):
+        w = params[name]["W"]
+        e = qstate[name]["exp"]["w"]
+        want = np.asarray(quantize(w, 4, e))
+        np.testing.assert_array_equal(np.asarray(restored[name]["W"]), want)
+    qb, fb = exported_nbytes(exported)
+    assert qb < fb / 6  # ~8x on W (4-bit packed), b stays int8
