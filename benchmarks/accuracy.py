@@ -58,11 +58,17 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--bits", type=int, nargs="*", default=[8, 32])
     ap.add_argument("--warmup_epochs", type=int, default=0)
+    # None -> (epochs//2, 3*epochs//4); pass e.g. 80 120 140 for the
+    # reference schedule (reference trainer.py:117-132)
+    ap.add_argument("--lr_decay_epochs", type=int, nargs="*", default=None)
+    ap.add_argument("--lr_decay_factor", type=float, default=0.1)
     ap.add_argument("--engine", default="int8")
     ap.add_argument("--noise_mode", default="prng")
     ap.add_argument("--fused_bn", action="store_true")
     ap.add_argument("--tag", default="")
     ap.add_argument("--bn_momentum", type=float, default=0.99)
+    ap.add_argument("--scan_steps", type=int, default=0,
+                    help="K train steps per dispatch (lax.scan)")
     args = ap.parse_args()
     for b in args.bits:
         if not 1 <= b <= 32:
@@ -71,10 +77,15 @@ def main():
     ds = MODEL_DATASET[args.model]
     data = load_dataset(ds, n_train=args.n_train, n_test=args.n_test)
     augment = make_augment(ds)
+    decay_epochs = (tuple(args.lr_decay_epochs)
+                    if args.lr_decay_epochs is not None
+                    else (args.epochs // 2, 3 * args.epochs // 4))
     tc = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, n_epoch=args.epochs,
-        lr_decay_epochs=(args.epochs // 2, 3 * args.epochs // 4),
+        lr_decay_epochs=decay_epochs,
+        lr_decay_factor=args.lr_decay_factor,
         warmup_epochs=args.warmup_epochs,
+        scan_steps=args.scan_steps,
         log_every=10_000,
     )
     results = {
@@ -82,7 +93,10 @@ def main():
         "synthetic": bool(data["synthetic"]),
         "recipe": {"epochs": args.epochs, "lr": args.lr,
                    "batch_size": args.batch_size,
-                   "n_train": args.n_train},
+                   "n_train": args.n_train,
+                   "lr_decay_epochs": list(decay_epochs),
+                   "lr_decay_factor": args.lr_decay_factor,
+                   "bn_momentum": args.bn_momentum},
         "runs": [],
     }
     for bits in args.bits:

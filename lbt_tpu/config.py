@@ -171,3 +171,9 @@ class TrainConfig:
     # codes (int16 when the exact sum fits); 'int16'/'int8' = explicit
     # ppermute ring collective at that wire width (see parallel/lowbit.py).
     lowbit_wire: Optional[str] = None
+    # K train steps per dispatch via lax.scan (0/1 = one dispatch per
+    # step).  Amortizes per-call RPC latency — essential on remote /
+    # tunneled devices — and moves augmentation inside the compiled
+    # block.  Identical trajectory to the per-step path (same PRNG
+    # derivations); single-device path only (ignored under DP).
+    scan_steps: int = 0

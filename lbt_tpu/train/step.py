@@ -64,22 +64,31 @@ def make_train_step(model: Model, tc: TrainConfig,
 
 def make_scan_train_step(model: Model, tc: TrainConfig,
                          unroll_steps: int,
-                         donate: bool = True) -> Callable:
+                         donate: bool = True,
+                         augment: Optional[Callable] = None) -> Callable:
     """K train steps per dispatch via ``lax.scan``:
 
-        (params, qstate, velocity, xs, ys, step0, lr, key)
+        (params, qstate, velocity, xs, ys, step0, lr, key[, aug_key])
             -> (params', qstate', velocity', stacked_metrics)
 
     with ``xs: [K, B, ...]``, ``ys: [K, B]``.  Amortizes host->device
     dispatch (important over remote/tunneled devices where per-call RPC
     latency rivals the step time) and lets XLA overlap adjacent steps.
+
+    ``augment``: optional on-device (key, x) -> x applied inside the
+    scanned body with key ``fold_in(aug_key, step)`` — the same
+    derivation the eager Trainer path uses, so trajectories match
+    bitwise.
     """
     inner = make_train_step(model, tc, jit=False)
 
-    def scan_step(params, qstate, velocity, xs, ys, step0, lr, base_key):
+    def scan_step(params, qstate, velocity, xs, ys, step0, lr, base_key,
+                  aug_key=None):
         def body(carry, inp):
             params, qstate, velocity, step = carry
             x, y = inp
+            if augment is not None:
+                x = augment(jax.random.fold_in(aug_key, step), x)
             params, qstate, velocity, metrics = inner(
                 params, qstate, velocity, x, y, step, lr, base_key)
             return (params, qstate, velocity, step + 1), metrics

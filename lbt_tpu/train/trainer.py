@@ -20,7 +20,8 @@ from lbt_tpu.data.pipeline import batch_iterator, device_prefetch
 from lbt_tpu.nn.model import Model
 from lbt_tpu.train import checkpoint as ckpt
 from lbt_tpu.train.optim import momentum_init, piecewise_lr
-from lbt_tpu.train.step import make_eval_step, make_train_step
+from lbt_tpu.train.step import (make_eval_step, make_scan_train_step,
+                                make_train_step)
 from lbt_tpu.utils.logging import MetricsWriter, get_logger
 
 
@@ -40,6 +41,7 @@ class Trainer:
         self.model = model
         self.tc = tc
         self.dataset = dataset
+        self._augment_raw = augment
         self.augment = jax.jit(augment) if augment is not None else None
         self.native = None
         if native_loader:
@@ -75,6 +77,13 @@ class Trainer:
                 lowbit_wire=tc.lowbit_wire)
         else:
             self.train_step = make_train_step(model, tc)
+        # K-steps-per-dispatch scan block (single-device path; the native
+        # loader augments on the host so the in-scan augment is skipped)
+        self.scan_train_step = None
+        if tc.scan_steps > 1 and not self.dp:
+            self.scan_train_step = make_scan_train_step(
+                model, tc, tc.scan_steps,
+                augment=None if self.native else self._augment_raw)
         faithful = bool(model.cfg and model.cfg.faithful_eval)
         self.eval_step = make_eval_step(model, faithful_eval=faithful)
 
@@ -153,6 +162,9 @@ class Trainer:
             self.velocity = momentum_init(self.params)
             self.logger.info("Reset momentum slots (faithful mode)")
 
+        if self.scan_train_step is not None:
+            return self._train_epoch_scanned(epoch, lr)
+
         # DP: land each shard directly on its device during the prefetch
         # device_put (no gather/redistribute inside the step)
         placement = None
@@ -200,6 +212,84 @@ class Trainer:
                 self.logger.info(
                     "epoch %d batch %d loss %.4f acc %.4f (%.0f img/s)",
                     epoch, b + 1, m["loss"], m["accuracy"], rate)
+                self.metrics.write(self.step, m, prefix="train/")
+                last = m
+        self.profiler.stop()
+        return last
+
+    def _train_epoch_scanned(self, epoch: int, lr: float) -> Dict[str, float]:
+        """K steps per dispatch: stack K host batches, run one scanned
+        jit call.  Augmentation happens inside the compiled block with
+        the same ``fold_in(data_key, step)`` derivation as the eager
+        path, so the training trajectory is identical."""
+        tc = self.tc
+        K = tc.scan_steps
+        if self.native is not None:
+            it = self.native.epoch(epoch)
+        else:
+            xtr, ytr = self.dataset["train"]
+            it = batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
+                                epoch=epoch)
+
+        def blocks():
+            while True:
+                xs, ys = [], []
+                for _ in range(K):
+                    try:
+                        x, y = next(it)
+                    except StopIteration:
+                        break
+                    xs.append(x)
+                    ys.append(y)
+                if not xs:
+                    return
+                yield np.stack(xs), np.stack(ys)
+                if len(xs) < K:
+                    return
+
+        lr_dev = jnp.float32(lr)
+        last = {}
+        t0, n_img = time.time(), 0
+        first_logged = self.step > 0
+        n_steps_logged = 0
+        for xs, ys in device_prefetch(blocks()):
+            k = xs.shape[0]
+            if k == K:
+                self.profiler.observe(self.step)
+                (self.params, self.qstate, self.velocity,
+                 ms) = self.scan_train_step(
+                    self.params, self.qstate, self.velocity, xs, ys,
+                    self.step, lr_dev, self.base_key, self.data_key)
+                self.step += k
+                m_last = jax.tree.map(lambda a: a[-1], ms)
+            else:
+                # remainder block (epoch length not divisible by K):
+                # fall back to the per-step fn
+                for i in range(k):
+                    x = xs[i]
+                    if self.augment is not None:
+                        x = self.augment(
+                            jax.random.fold_in(self.data_key, self.step), x)
+                    (self.params, self.qstate, self.velocity,
+                     m_last) = self.train_step(
+                        self.params, self.qstate, self.velocity, x, ys[i],
+                        self.step, lr_dev, self.base_key)
+                    self.step += 1
+            n_img += int(np.prod(ys.shape))
+            if not first_logged:
+                jax.block_until_ready(m_last)
+                self.logger.info(
+                    "first scan block (compile + warm-up) took %.1fs",
+                    time.time() - t0)
+                first_logged = True
+            n_steps_logged += k
+            if n_steps_logged >= self.tc.log_every:
+                n_steps_logged = 0
+                m = jax.device_get(m_last)
+                rate = n_img / (time.time() - t0)
+                self.logger.info(
+                    "epoch %d step %d loss %.4f acc %.4f (%.0f img/s)",
+                    epoch, self.step, m["loss"], m["accuracy"], rate)
                 self.metrics.write(self.step, m, prefix="train/")
                 last = m
         self.profiler.stop()

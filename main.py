@@ -81,6 +81,10 @@ def parse_args():
                    help="use the C++ input pipeline (native/loader.cc)")
     p.add_argument("--log_every", type=int, default=100,
                    help="log train metrics every N batches")
+    p.add_argument("--scan_steps", type=int, default=0,
+                   help="run K train steps per dispatch via lax.scan "
+                        "(amortizes RPC latency on remote devices; "
+                        "identical trajectory to per-step dispatch)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all local devices")
     p.add_argument("--debug_nans", action="store_true",
@@ -155,6 +159,7 @@ def main():
         data_parallel=args.data_parallel or args.lowbit_allreduce,
         lowbit_allreduce=args.lowbit_allreduce,
         lowbit_wire=args.lowbit_wire,
+        scan_steps=args.scan_steps,
     )
 
     model_kw = dict(dropout_keep=args.dropout,

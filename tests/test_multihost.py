@@ -4,11 +4,15 @@ all-reduce across process boundaries (SURVEY.md §5.8 — the reference has
 no distribution at all; this validates the new capability without a TPU
 pod)."""
 
+import os
+import pathlib
 import socket
 import subprocess
 import sys
 
 import numpy as np
+
+_REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 
 _CHILD = r"""
 import os, sys
@@ -66,10 +70,15 @@ def test_two_process_distributed_lowbit_allreduce(tmp_path):
     script = tmp_path / "child.py"
     script.write_text(_CHILD)
     port = _free_port()
+    env = dict(os.environ)
+    # The child script lives in tmp_path, so sys.path[0] is the tmp dir —
+    # the repo root must be on PYTHONPATH for `import lbt_tpu` to resolve.
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
         for i in range(2)
     ]
     outs = []

@@ -296,3 +296,37 @@ def test_resnet50_imagenet_subset_trains():
     trainer.train_epoch(0)
     ev = trainer.evaluate()
     assert np.isfinite(ev["loss"])
+
+
+def test_trainer_scan_steps_matches_eager():
+    """Trainer with scan_steps=K (augment inside the compiled block)
+    produces the same trajectory as per-step dispatch, including the
+    remainder batches of an epoch not divisible by K."""
+    import dataclasses
+
+    cfg = QuantConfig.uniform(8, stochastic=False)
+    tc = TrainConfig(lr=0.02, batch_size=16, n_epoch=1, log_every=1000)
+    data = load_dataset("cifar10", n_train=96, n_test=32)
+    augment = make_augment("cifar10")
+
+    def run(scan_steps):
+        model = build_model("CIFAR10", cfg)
+        t = Trainer(model, dataclasses.replace(tc, scan_steps=scan_steps),
+                    data, augment=augment)
+        t.train_epoch(0)
+        return t
+
+    t_eager = run(0)
+    t_scan = run(4)  # 96/16 = 6 steps -> one 4-block + 2 remainder steps
+    assert t_eager.step == t_scan.step == 6
+    for a, b in zip(jax.tree.leaves(t_eager.params),
+                    jax.tree.leaves(t_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_eager.qstate),
+                    jax.tree.leaves(t_scan.qstate)):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.integer):  # controller exponents
+            np.testing.assert_array_equal(a, b)
+        else:  # BN running stats etc.
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
