@@ -40,8 +40,9 @@ from lbt_tpu.train.optim import momentum_init
 from lbt_tpu.train.step import make_train_step
 
 BATCH = 512
-UNROLL = 20
+UNROLL = 60
 REPEATS = 3
+POOL = 8  # device-resident batches, cycled by step
 
 
 def measure(engine: str, noise_mode: str = "prng") -> float:
@@ -52,13 +53,22 @@ def measure(engine: str, noise_mode: str = "prng") -> float:
     velocity = momentum_init(params)
     inner = make_train_step(model, tc, jit=False)
 
-    def block(params, qstate, velocity, step0, lr, key):
+    # a small pool of device-resident batches indexed by step: real
+    # training reads host-prefetched data, so PRNG-generating batches
+    # inside the step would bill ~0.7 ms/step of threefry against the
+    # train step itself
+    kp = jax.random.key(7)
+    xs_pool = jax.random.normal(
+        kp, (POOL, BATCH, 32, 32, 3), jnp.float32)
+    ys_pool = jax.random.randint(
+        jax.random.fold_in(kp, 1), (POOL, BATCH), 0, 10, jnp.int32)
+
+    def block(params, qstate, velocity, xs_pool, ys_pool, step0, lr, key):
         def body(carry, _):
             params, qstate, velocity, step = carry
-            kd = jax.random.fold_in(key, step)
-            x = jax.random.normal(kd, (BATCH, 32, 32, 3), jnp.float32)
-            y = jax.random.randint(
-                jax.random.fold_in(kd, 1), (BATCH,), 0, 10, jnp.int32)
+            i = jax.lax.rem(step, POOL)
+            x = jax.lax.dynamic_index_in_dim(xs_pool, i, keepdims=False)
+            y = jax.lax.dynamic_index_in_dim(ys_pool, i, keepdims=False)
             params, qstate, velocity, m = inner(
                 params, qstate, velocity, x, y, step, lr, key)
             return (params, qstate, velocity, step + 1), m["loss"]
@@ -71,12 +81,13 @@ def measure(engine: str, noise_mode: str = "prng") -> float:
     key = jax.random.key(1)
     lr = jnp.float32(1e-2)
     st = (params, qstate, velocity)
-    *st, losses = blockj(*st, jnp.int32(0), lr, key)
+    *st, losses = blockj(*st, xs_pool, ys_pool, jnp.int32(0), lr, key)
     float(losses[-1])  # warm-up + forced completion
     best = 0.0
     for r in range(REPEATS):
         t0 = time.perf_counter()
-        *st, losses = blockj(*st, jnp.int32((r + 1) * UNROLL), lr, key)
+        *st, losses = blockj(*st, xs_pool, ys_pool,
+                             jnp.int32((r + 1) * UNROLL), lr, key)
         float(losses[-1])  # readback barrier
         best = max(best, BATCH * UNROLL / (time.perf_counter() - t0))
     return best

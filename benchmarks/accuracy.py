@@ -25,7 +25,8 @@ from lbt_tpu.utils.logging import get_logger
 
 def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         engine: str, noise_mode: str = "prng",
-        fused_bn: bool = False, bn_momentum: float = 0.99) -> dict:
+        fused_bn: bool = False, bn_momentum: float = 0.99,
+        eval_every: int = 1) -> dict:
     import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
            else dataclasses.replace(
@@ -41,8 +42,11 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
     curve = []
     for epoch in range(tc.n_epoch):
         trainer.train_epoch(epoch)
-        ev = trainer.evaluate()
-        curve.append({"epoch": epoch + 1, **ev})
+        # eval ships the whole test set through the device tunnel; on
+        # remote chips evaluating every epoch can dominate wall-clock
+        if (epoch + 1) % eval_every == 0 or epoch + 1 == tc.n_epoch:
+            ev = trainer.evaluate()
+            curve.append({"epoch": epoch + 1, **ev})
         trainer.epoch += 1
     return {"bits": bits, "engine": engine, "curve": curve,
             "final": curve[-1]}
@@ -69,6 +73,8 @@ def main():
     ap.add_argument("--bn_momentum", type=float, default=0.99)
     ap.add_argument("--scan_steps", type=int, default=0,
                     help="K train steps per dispatch (lax.scan)")
+    ap.add_argument("--eval_every", type=int, default=1,
+                    help="evaluate every N epochs (final epoch always)")
     args = ap.parse_args()
     for b in args.bits:
         if not 1 <= b <= 32:
@@ -101,7 +107,8 @@ def main():
     }
     for bits in args.bits:
         r = run(args.model, bits, tc, data, augment, args.engine,
-                args.noise_mode, args.fused_bn, args.bn_momentum)
+                args.noise_mode, args.fused_bn, args.bn_momentum,
+                args.eval_every)
         r["noise_mode"] = args.noise_mode
         r["fused_bn"] = args.fused_bn
         print(f"bits={bits}: final top-1 {r['final']['accuracy']:.4f} "

@@ -120,6 +120,24 @@ def _noise(key: jax.Array, shape, shared_axis0: bool,
     return u.reshape(-1)[:n].reshape(shape)
 
 
+def code_dtype(bits: int):
+    """Narrowest exact storage dtype for ``bits``-wide codes.
+
+    int8 holds 8-bit codes; bfloat16 represents every integer with
+    magnitude <= 256 exactly, covering the 9-bit conv-activation case
+    (codes in [-256, 255]) at 2 bytes.  Narrow storage matters: codes are
+    materialized in HBM and saved as custom_vjp residuals for the
+    backward contractions, so int32 storage would cost 4x the bandwidth.
+    """
+    if bits <= 8:
+        return jnp.int8
+    if bits <= 9:
+        return jnp.bfloat16
+    if bits <= 16:
+        return jnp.int16
+    return jnp.int32
+
+
 def quantize_int(
     x: jax.Array,
     bits: int,
@@ -133,8 +151,9 @@ def quantize_int(
 ) -> tuple[jax.Array, jax.Array]:
     """Quantize to integer codes.
 
-    Returns ``(codes_int32, multiplier)`` with
-    ``dequantized = codes / multiplier``.  ``bits`` must be < 32.
+    Returns ``(codes, multiplier)`` with ``dequantized = codes /
+    multiplier`` and codes stored in :func:`code_dtype` (integer-valued;
+    cast as needed).  ``bits`` must be < 32.
 
     ``backend='pallas'`` (TPU only; silently falls back elsewhere) runs
     the fused Pallas kernel with in-kernel hardware-PRNG stochastic
@@ -156,7 +175,7 @@ def quantize_int(
             seed = (kd[0] ^ kd[-1]).astype(jnp.int32)
         codes, mult = quantize_pallas(
             x.astype(jnp.float32), bits, exp, seed, stochastic=stochastic)
-        return codes.astype(jnp.int32), mult
+        return codes.astype(code_dtype(bits)), mult
     x = x.astype(jnp.float32)
     mult = multiplier(bits, exp)
     limit = float(2 ** (bits - 1))
@@ -169,7 +188,7 @@ def quantize_int(
         codes = jnp.floor(jnp.clip(scaled, -limit, limit - 1))
     else:
         codes = jnp.round(jnp.clip(scaled, -limit, limit - 1))
-    return codes.astype(jnp.int32), mult
+    return codes.astype(code_dtype(bits)), mult
 
 
 def dequantize(codes: jax.Array, mult: jax.Array) -> jax.Array:

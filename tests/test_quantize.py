@@ -196,3 +196,34 @@ def test_hash_backend_matches_xla_when_deterministic():
     a = np.asarray(quantize(x, 8, jnp.int32(2), backend="xla"))
     b = np.asarray(quantize(x, 8, jnp.int32(2), backend="xla_hash"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_code_storage_dtype_narrow_and_exact():
+    """Codes are stored at the narrowest exact dtype (int8 for <=8 bits,
+    bf16 for the 9-bit conv-activation case, int16 for <=16): integer
+    codes materialize in HBM and ride custom_vjp residuals, so int32
+    storage would cost 4x the bandwidth."""
+    from lbt_tpu.dfxp.quantize import code_dtype
+
+    assert code_dtype(8) == jnp.int8
+    assert code_dtype(9) == jnp.bfloat16
+    assert code_dtype(12) == jnp.int16
+    assert code_dtype(24) == jnp.int32
+
+    # 8-bit extremes land exactly on int8 limits
+    x = jnp.array([-1000.0, -1.0, 0.3, 1000.0], jnp.float32)
+    codes, mult = quantize_int(x, 8, jnp.int32(2))
+    assert codes.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(codes, np.int32),
+        [-128, -32, round(0.3 * 32), 127])
+
+    # 9-bit codes span [-256, 255]; every integer there is exact in bf16
+    codes9, mult9 = quantize_int(x, 9, jnp.int32(2))
+    assert codes9.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(codes9, np.float32), [-256.0, -64.0, 19.0, 255.0])
+    all_codes = jnp.arange(-256, 256, dtype=jnp.float32)
+    assert np.array_equal(np.asarray(all_codes.astype(jnp.bfloat16),
+                                     np.float32),
+                          np.asarray(all_codes))
