@@ -1,0 +1,122 @@
+"""ResNet-50 / ImageNet-shape single-chip train-step throughput.
+
+BASELINE.md configs 4-5 use ResNet-50 at 224x224 — the shapes where the
+contraction dims (K,N >= 64) actually fill the 128-lane MXU, unlike
+CIFAR ResNet-20 (16/32/64 channels, elementwise-bound; see
+benchmarks/BENCH_NOTES.md).  This measures the full DFP train step
+(forward + quantized backward + range controllers + SGD) per engine:
+
+    fp32            unquantized floor
+    sim-bf16        bf16 fake-quant simulation (the BASELINE baseline)
+    int8-hash       integer-code engine, fused counter-hash noise
+    int8-hash-fbn   + lean fused BatchNorm
+    int8-a8         + conv acts at 8 bits (conv_act_extra=0): the conv
+                    contractions run int8 x int8 -> int32 on the MXU
+                    (2x bf16 MACs on v5e) instead of the 9-bit-exact
+                    bf16 path forced by the reference's bits+1 conv
+                    activations (reference dynamic_fixed_point.py:288)
+
+Usage: python benchmarks/imagenet_bench.py [--batch 64] [--unroll 8]
+       [--depth 50] [--image 224] [--only name ...] [--json out.json]
+Prints one line per config: ms/step and img/s.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lbt_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+
+from lbt_tpu.config import QuantConfig, TrainConfig
+from lbt_tpu.models import imagenet_resnet
+from lbt_tpu.train.optim import momentum_init
+from lbt_tpu.train.step import make_train_step
+
+
+def measure(cfg: QuantConfig, batch: int, unroll: int, depth: int,
+            image: int, classes: int, repeats: int = 3) -> float:
+    model = imagenet_resnet(cfg, depth, num_classes=classes,
+                            image_size=image)
+    tc = TrainConfig(batch_size=batch)
+    params, qstate = model.init(jax.random.key(0))
+    velocity = momentum_init(params)
+    inner = make_train_step(model, tc, jit=False)
+
+    def block(params, qstate, velocity, step0, lr, key):
+        def body(carry, _):
+            params, qstate, velocity, step = carry
+            kd = jax.random.fold_in(key, step)
+            x = jax.random.normal(kd, (batch, image, image, 3), jnp.float32)
+            y = jax.random.randint(
+                jax.random.fold_in(kd, 1), (batch,), 0, classes, jnp.int32)
+            params, qstate, velocity, m = inner(
+                params, qstate, velocity, x, y, step, lr, key)
+            return (params, qstate, velocity, step + 1), m["loss"]
+
+        (params, qstate, velocity, _), losses = jax.lax.scan(
+            body, (params, qstate, velocity, step0), None, length=unroll)
+        return params, qstate, velocity, losses
+
+    blockj = jax.jit(block, donate_argnums=(0, 1, 2))
+    st = (params, qstate, velocity)
+    lr = jnp.float32(1e-2)
+    key = jax.random.key(1)
+    *st, losses = blockj(*st, jnp.int32(0), lr, key)
+    float(losses[-1])  # warm-up; forced completion via readback
+    best = float("inf")
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        *st, losses = blockj(*st, jnp.int32((r + 1) * unroll), lr, key)
+        float(losses[-1])
+        best = min(best, (time.perf_counter() - t0) / unroll)
+    return best
+
+
+CONFIGS = {
+    "fp32": QuantConfig.fp32(),
+    "sim-bf16": QuantConfig.uniform(8, engine="sim_bf16", noise_mode="prng"),
+    "int8-hash": QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+    "int8-hash-fbn": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True),
+    "int8-a8": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--unroll", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--image", type=int, default=224)
+    ap.add_argument("--classes", type=int, default=1000)
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    names = args.only or list(CONFIGS)
+    out = {"batch": args.batch, "depth": args.depth, "image": args.image,
+           "results": {}}
+    for name in names:
+        dt = measure(CONFIGS[name], args.batch, args.unroll, args.depth,
+                     args.image, args.classes)
+        ips = args.batch / dt
+        out["results"][name] = {"ms_per_step": dt * 1e3, "img_per_s": ips}
+        print(f"{name:16s} {dt * 1e3:8.2f} ms/step {ips:10.0f} img/s",
+              flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,11 @@ def parse_args():
                    help="stochastic-rounding noise source: jax.random "
                         "threefry ('prng') or the fused counter hash "
                         "('hash', ~2x faster; benchmarks/BENCH_NOTES.md)")
+    p.add_argument("--conv_act_extra", type=int, default=1,
+                   help="extra bits for conv activations over --bits_a "
+                        "(reference quantizes conv acts at bits+1, "
+                        "dynamic_fixed_point.py:288; 0 = lean mode where "
+                        "8-bit conv acts ride the int8 MXU path)")
     p.add_argument("--fused_bn", action="store_true",
                    help="lean fused BatchNorm: one input quantization + "
                         "one cotangent barrier (divergence from "
@@ -134,7 +139,7 @@ def main():
     else:
         cfg = QuantConfig(
             bits_w=bw, bits_a=ba, bits_b=bw, bits_g=bg,
-            conv_act_extra=0 if ba >= 32 else 1,
+            conv_act_extra=0 if ba >= 32 else args.conv_act_extra,
             target_overflow_rate=args.target_overflow_rate,
             stochastic=not args.deterministic_rounding,
             noise_shared_axis0=args.noise_shared_axis0,

@@ -44,10 +44,12 @@ def test_qmatmul_fwd_bwd_matches_sim(bits_x, bits_w):
     np.testing.assert_array_equal(np.asarray(dw_s), np.asarray(dw_i))
 
 
-@pytest.mark.parametrize("padding,stride", [
-    ("SAME", 1), ("SAME", 2), ("VALID", 1), ("VALID", 2),
+@pytest.mark.parametrize("padding,stride,bits_x", [
+    ("SAME", 1, 9), ("SAME", 2, 9), ("VALID", 1, 9), ("VALID", 2, 9),
+    # bits_x=8 = the lean conv_act_extra=0 scheme: int8 x int8 MXU conv
+    ("SAME", 1, 8), ("SAME", 2, 8),
 ])
-def test_qconv_fwd_bwd_matches_sim(padding, stride):
+def test_qconv_fwd_bwd_matches_sim(padding, stride, bits_x):
     rng = np.random.default_rng(1)
     x = rng.normal(0, 1.2, (4, 11, 11, 5)).astype(np.float32)
     w = rng.normal(0, 0.4, (3, 3, 5, 7)).astype(np.float32)
@@ -57,7 +59,7 @@ def test_qconv_fwd_bwd_matches_sim(padding, stride):
             y = qconv2d(
                 x, w, E(2), E(1), E(2),
                 strides=(stride, stride), padding=padding,
-                bits_x=9, bits_w=8, bits_g=8, engine=engine,
+                bits_x=bits_x, bits_w=8, bits_g=8, engine=engine,
             )
             return _loss_through_barrier(y, sink)
 
