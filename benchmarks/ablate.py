@@ -16,6 +16,9 @@ Usage: python benchmarks/ablate.py [--batch 512] [--unroll 20]
 Prints one line per config: ms/step and img/s.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import os

@@ -11,6 +11,9 @@ Falls back to the synthetic dataset when the real one is not cached
 only, but the machinery is identical.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -21,6 +21,9 @@ Usage: python benchmarks/imagenet_bench.py [--batch 64] [--unroll 8]
 Prints one line per config: ms/step and img/s.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json
@@ -90,6 +93,18 @@ CONFIGS = {
     "int8-a8": dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
         fused_bn=True, conv_act_extra=0),
+    # controller cadence (range_update_every): skips the overflow
+    # reductions on 7 of 8 steps — quantization itself still runs every
+    # step at the held exponents
+    "int8-hash-ru8": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        range_update_every=8),
+    "int8-hash-fbn-ru8": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, range_update_every=8),
+    "int8-a8-ru8": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8),
 }
 
 

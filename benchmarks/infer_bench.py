@@ -15,6 +15,9 @@ Usage: python benchmarks/infer_bench.py [--batches 1 8 64 256]
 Prints one line per (config, batch): ms/batch and img/s.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json

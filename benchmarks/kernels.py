@@ -6,6 +6,9 @@ current default device and writes benchmarks/results.json.
     python benchmarks/kernels.py [--iters 20]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -1,0 +1,165 @@
+"""Capture a jax.profiler device trace of the ResNet-50 train step and
+print the per-op time breakdown (top HLO categories) so optimization
+targets the real bottleneck instead of guesses.
+
+Usage: python benchmarks/profile_step.py [--config int8-hash-fbn]
+       [--batch 64] [--unroll 4] [--outdir /tmp/lbt_profile]
+
+Parses the trace.json.gz XProf export: sums duration by event name on
+the device track and prints the top 25 plus a category rollup
+(conv / matmul / fusion-elementwise / copy / other).
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lbt_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import importlib.util  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "imagenet_bench",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "imagenet_bench.py"))
+_ib = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_ib)
+
+
+def capture(cfg, batch, unroll, outdir):
+    import time
+
+    import jax.numpy as jnp
+
+    from lbt_tpu.config import TrainConfig
+    from lbt_tpu.models import imagenet_resnet
+    from lbt_tpu.train.optim import momentum_init
+    from lbt_tpu.train.step import make_train_step
+
+    model = imagenet_resnet(cfg, 50, num_classes=1000, image_size=224)
+    tc = TrainConfig(batch_size=batch)
+    params, qstate = model.init(jax.random.key(0))
+    velocity = momentum_init(params)
+    inner = make_train_step(model, tc, jit=False)
+
+    def block(params, qstate, velocity, step0, lr, key):
+        def body(carry, _):
+            params, qstate, velocity, step = carry
+            kd = jax.random.fold_in(key, step)
+            x = jax.random.normal(kd, (batch, 224, 224, 3), jnp.float32)
+            y = jax.random.randint(
+                jax.random.fold_in(kd, 1), (batch,), 0, 1000, jnp.int32)
+            params, qstate, velocity, m = inner(
+                params, qstate, velocity, x, y, step, lr, key)
+            return (params, qstate, velocity, step + 1), m["loss"]
+
+        (params, qstate, velocity, _), losses = jax.lax.scan(
+            body, (params, qstate, velocity, step0), None, length=unroll)
+        return params, qstate, velocity, losses
+
+    blockj = jax.jit(block, donate_argnums=(0, 1, 2))
+    st = (params, qstate, velocity)
+    lr = jnp.float32(1e-2)
+    key = jax.random.key(1)
+    *st, losses = blockj(*st, jnp.int32(0), lr, key)
+    float(losses[-1])
+    t0 = time.perf_counter()
+    with jax.profiler.trace(outdir):
+        *st, losses = blockj(*st, jnp.int32(unroll), lr, key)
+        float(losses[-1])
+    dt = time.perf_counter() - t0
+    print(f"traced block: {dt * 1e3 / unroll:.2f} ms/step "
+          f"({batch * unroll / dt:.0f} img/s)")
+
+
+CATS = [
+    ("total-markers", re.compile(r"^(jit_|while\.|\d+$)")),
+    ("reduce (controllers/BN/loss)", re.compile(r"reduce", re.I)),
+    ("conv", re.compile(r"convolution|^conv\.|conv[0-9]|%conv", re.I)),
+    ("dot", re.compile(r"dot|matmul", re.I)),
+    ("rng", re.compile(r"rng|threefry|random", re.I)),
+    ("scatter/pool-bwd", re.compile(r"scatter", re.I)),
+    ("copy|transpose", re.compile(r"copy|transpose|bitcast", re.I)),
+    ("fusion (elementwise)", re.compile(r"fusion|loop", re.I)),
+]
+
+
+def analyze(outdir):
+    paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace.json.gz found under", outdir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device-track pids: name them from process_name metadata
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dur_by_name = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        # XLA op events live on "XLA Ops"-style threads; skip the
+        # "Steps"/launch tracks by requiring a dur and a non-step name
+        name = e.get("name", "")
+        if name.startswith("Step") or name.startswith("tsl::"):
+            continue
+        dur_by_name[name] += e.get("dur", 0.0)
+        total += e.get("dur", 0.0)
+    top = sorted(dur_by_name.items(), key=lambda kv: -kv[1])
+    print(f"\ndevice op time total {total / 1e3:.2f} ms "
+          f"({len(dur_by_name)} distinct ops)  [{os.path.basename(path)}]")
+    print("\ntop 30 ops:")
+    for name, dur in top[:30]:
+        print(f"  {dur / 1e3:9.3f} ms  {dur / max(total, 1) * 100:5.1f}%  "
+              f"{name[:110]}")
+    cat_tot = defaultdict(float)
+    for name, dur in dur_by_name.items():
+        for cat, rx in CATS:
+            if rx.search(name):
+                cat_tot[cat] += dur
+                break
+        else:
+            cat_tot["other"] += dur
+    print("\ncategory rollup:")
+    for cat, dur in sorted(cat_tot.items(), key=lambda kv: -kv[1]):
+        print(f"  {dur / 1e3:9.3f} ms  {dur / max(total, 1) * 100:5.1f}%  "
+              f"{cat}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="int8-hash-fbn",
+                    choices=list(_ib.CONFIGS))
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--unroll", type=int, default=4)
+    ap.add_argument("--outdir", default="/tmp/lbt_profile")
+    ap.add_argument("--analyze_only", action="store_true")
+    args = ap.parse_args()
+    if not args.analyze_only:
+        capture(_ib.CONFIGS[args.config], args.batch, args.unroll,
+                args.outdir)
+    analyze(args.outdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,14 @@ class QuantConfig:
     # stats and live dropout (reference trainer.py:164-165 leaves
     # set_testing commented out).  Default False = proper eval.
     faithful_eval: bool = False
+    # Run the range controllers every K-th step instead of every step
+    # (reference runs them per step, trainer.py:157).  The overflow
+    # reductions behind the controllers are a large share of step device
+    # time at ImageNet shapes (benchmarks/profile_step.py); exponents move
+    # rarely after warmup, so a K of 4-16 skips most of that cost while
+    # quantization itself still runs every step at the last exponents.
+    # Divergence from reference cadence; 1 (default) = faithful.
+    range_update_every: int = 1
 
     def __post_init__(self):
         for name in ("bits_w", "bits_a", "bits_b", "bits_g"):
@@ -100,6 +108,8 @@ class QuantConfig:
             raise ValueError(f"unknown noise_impl {self.noise_impl!r}")
         if self.noise_mode not in ("prng", "hash"):
             raise ValueError(f"unknown noise_mode {self.noise_mode!r}")
+        if self.range_update_every < 1:
+            raise ValueError("range_update_every must be >= 1")
 
     @property
     def bits_a_conv(self) -> int:

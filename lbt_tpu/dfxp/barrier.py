@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import dtypes
 
-from lbt_tpu.dfxp.quantize import overflow_rates, quantize, wrap_key
+from lbt_tpu.dfxp.quantize import overflow_stats, quantize, wrap_key
 
 SINK_SHAPE = (2,)
 
@@ -42,23 +42,35 @@ def _float0(x) -> np.ndarray:
     return np.zeros(aval.shape, dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7))
+# Sentinel stats that make update_exponent hold: ovf = 0 (no widen),
+# ovf2 = 1 (no tighten).  Emitted on controller-gated-off steps.
+HOLD_STATS = (0.0, 1.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7, 8, 9))
 def _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-             noise_bits, backend, sink):
-    del exp, keydata, sink
+             noise_bits, backend, target, gated, sink, gate):
+    del exp, keydata, sink, gate
     return x
 
 
 def _barrier_fwd(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-                 noise_bits, backend, sink):
+                 noise_bits, backend, target, gated, sink, gate):
     del sink
-    return x, (exp, keydata)
+    return x, (exp, keydata, gate)
 
 
 def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, backend,
-                 res, g):
-    exp, keydata = res
-    stats = overflow_rates(g, bits, exp)
+                 target, gated, res, g):
+    exp, keydata, gate = res
+    if gated:
+        stats = jax.lax.cond(
+            gate,
+            lambda: overflow_stats(g, bits, exp, target),
+            lambda: jnp.array(HOLD_STATS, jnp.float32),
+        )
+    else:
+        stats = overflow_stats(g, bits, exp, target)
     key = None if keydata is None else wrap_key(keydata)
     gq = quantize(
         g, bits, exp, key,
@@ -66,7 +78,7 @@ def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, backend,
         noise_bits=noise_bits, backend=backend,
     )
     key_cot = None if keydata is None else _float0(keydata)
-    return (gq, _float0(exp), key_cot, stats)
+    return (gq, _float0(exp), key_cot, stats, _float0(gate))
 
 
 _barrier.defvjp(_barrier_fwd, _barrier_bwd)
@@ -83,11 +95,21 @@ def grad_quant_barrier(
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
     backend: str = "xla",
+    target_overflow_rate: float = 0.0,
+    gate: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Identity forward; backward quantizes the cotangent at ``(bits, exp)``
-    and emits its overflow stats as the cotangent of ``sink``."""
+    and emits its overflow stats (:func:`overflow_stats` at
+    ``target_overflow_rate``) as the cotangent of ``sink``.
+
+    ``gate`` (optional traced bool): when False the backward stat
+    reduction is skipped and the sink cotangent is the hold sentinel
+    (``HOLD_STATS``) — used by ``QuantConfig.range_update_every``."""
     if bits >= 32:
         return x
     keydata = None if key is None else jax.random.key_data(key)
+    gated = gate is not None
+    gate_arr = jnp.asarray(True) if gate is None else gate
     return _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-                    noise_bits, backend, sink)
+                    noise_bits, backend, target_overflow_rate, gated,
+                    sink, gate_arr)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from lbt_tpu.config import QuantConfig
-from lbt_tpu.dfxp.quantize import overflow_rates, update_exponent
+from lbt_tpu.dfxp.quantize import overflow_stats, update_exponent
 
 _RESERVED = {"exp", "state", "grad", "buffer"}
 
@@ -53,12 +53,19 @@ class Ctx:
     ``psum_axis``: mesh axis name when running data-parallel under
     shard_map.  Overflow rates and BN batch moments are pmean-synchronized
     across it so that quantizer exponents and running statistics stay
-    replicated (the global-batch semantics of the reference, scaled)."""
+    replicated (the global-batch semantics of the reference, scaled).
+
+    ``update_gate``: optional traced bool scalar gating the range
+    controllers at runtime (``QuantConfig.range_update_every``): when
+    False the overflow reductions are skipped entirely (lax.cond) and
+    every exponent holds.  None = ungated (controllers run whenever
+    ``update`` is True)."""
 
     train: bool
     key: Optional[jax.Array] = None
     update: Optional[bool] = None
     psum_axis: Optional[str] = None
+    update_gate: Optional[jax.Array] = None
 
     def __post_init__(self):
         if self.update is None:
@@ -117,12 +124,23 @@ class Layer:
         :70-94).  No-op outside training."""
         if not ctx.update or bits >= 32:
             return exp
-        rates = overflow_rates(x, bits, exp)
+        target = self.cfg.target_overflow_rate
+        if ctx.update_gate is None:
+            rates = overflow_stats(x, bits, exp, target)
+        else:
+            # gated cadence: skip the reduction at runtime on off steps;
+            # the hold sentinel [0, 1] makes update_exponent a no-op.
+            # The pmean stays OUTSIDE the cond (collectives inside
+            # conditionals are not portable; the gate is replicated so
+            # the sentinel is uniform too).
+            rates = jax.lax.cond(
+                ctx.update_gate,
+                lambda: overflow_stats(x, bits, exp, target),
+                lambda: jnp.array([0.0, 1.0], jnp.float32),
+            )
         if ctx.psum_axis is not None:
             rates = jax.lax.pmean(rates, ctx.psum_axis)
-        return update_exponent(
-            exp, rates, bits, self.cfg.target_overflow_rate
-        )
+        return update_exponent(exp, rates, bits, target)
 
     def _absorb_grad_site(self, qstate: Vars, sink_cots: Vars,
                           bits_g: int) -> Vars:

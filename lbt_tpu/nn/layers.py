@@ -19,7 +19,7 @@ from lbt_tpu.config import QuantConfig
 from lbt_tpu.dfxp.barrier import grad_quant_barrier
 from lbt_tpu.dfxp.quantize import (
     multiplier,
-    overflow_rates,
+    overflow_stats,
     quantize,
     quantize_ste,
     wrap_key,
@@ -116,7 +116,9 @@ class Dense(Layer):
         if cfg.bits_g < 32:
             y = grad_quant_barrier(
                 y, cfg.bits_g, exp["grad"], sinks["grad"],
-                ctx.layer_key(self.uid, _SITE_G), **kw,
+                ctx.layer_key(self.uid, _SITE_G),
+                target_overflow_rate=cfg.target_overflow_rate,
+                gate=ctx.update_gate, **kw,
             )
         return y, {"exp": new_exp, "state": qstate["state"]}
 
@@ -208,7 +210,9 @@ class Conv2d(Layer):
         if cfg.bits_g < 32:
             y = grad_quant_barrier(
                 y, cfg.bits_g, exp["grad"], sinks["grad"],
-                ctx.layer_key(self.uid, _SITE_G), **kw,
+                ctx.layer_key(self.uid, _SITE_G),
+                target_overflow_rate=cfg.target_overflow_rate,
+                gate=ctx.update_gate, **kw,
             )
         return y, {"exp": new_exp, "state": qstate["state"]}
 
@@ -330,29 +334,37 @@ def _float0(x) -> np.ndarray:
     return np.zeros(aval.shape, dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7, 8, 9))
 def _gradbuf(x, bits, exp, keydata, buffer, stochastic, shared, backend,
-             sink_stats, sink_buffer):
-    del exp, keydata, buffer, sink_stats, sink_buffer
+             target, gated, sink_stats, sink_buffer, gate):
+    del exp, keydata, buffer, sink_stats, sink_buffer, gate
     return x
 
 
 def _gradbuf_fwd(x, bits, exp, keydata, buffer, stochastic, shared, backend,
-                 sink_stats, sink_buffer):
-    return x, (exp, keydata, buffer)
+                 target, gated, sink_stats, sink_buffer, gate):
+    return x, (exp, keydata, buffer, gate)
 
 
-def _gradbuf_bwd(bits, stochastic, shared, backend, res, g):
-    exp, keydata, buffer = res
+def _gradbuf_bwd(bits, stochastic, shared, backend, target, gated, res, g):
+    from lbt_tpu.dfxp.barrier import HOLD_STATS
+    exp, keydata, buffer, gate = res
     total = g + buffer
-    stats = overflow_rates(total, bits, exp)
+    if gated:
+        stats = jax.lax.cond(
+            gate,
+            lambda: overflow_stats(total, bits, exp, target),
+            lambda: jnp.array(HOLD_STATS, jnp.float32),
+        )
+    else:
+        stats = overflow_stats(total, bits, exp, target)
     key = wrap_key(keydata) if stochastic else None
     gq = quantize(total, bits, exp, key,
                   stochastic=stochastic, noise_shared_axis0=shared,
                   backend=backend)
     new_buffer = total - gq
     return (gq, _float0(exp), _float0(keydata), jnp.zeros_like(buffer),
-            stats, new_buffer)
+            stats, new_buffer, _float0(gate))
 
 
 _gradbuf.defvjp(_gradbuf_fwd, _gradbuf_bwd)
@@ -401,11 +413,14 @@ class GradientBuffer(Layer):
         key = ctx.layer_key(self.uid, _SITE_G)
         keydata = (jax.random.key_data(key) if key is not None
                    else np.zeros((2,), np.uint32))
+        gate = ctx.update_gate
         y = _gradbuf(
             x, cfg.bits_g, qstate["exp"]["grad"], keydata,
             qstate["state"]["buffer"], cfg.stochastic,
             cfg.noise_shared_axis0, cfg.quant_backend,
+            cfg.target_overflow_rate, gate is not None,
             sinks["grad"], sinks["buffer"],
+            jnp.asarray(True) if gate is None else gate,
         )
         return y, qstate
 

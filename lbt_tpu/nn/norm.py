@@ -104,7 +104,9 @@ class Normalization(Layer):
         if cfg.bits_g < 32:
             y = grad_quant_barrier(
                 y, cfg.bits_g, exp["grad"], sinks["grad"],
-                ctx.layer_key(self.uid, _SITE_G), **kw,
+                ctx.layer_key(self.uid, _SITE_G),
+                target_overflow_rate=cfg.target_overflow_rate,
+                gate=ctx.update_gate, **kw,
             )
         return y, {"exp": new_exp, "state": new_state}
 
@@ -183,7 +185,9 @@ class Rescale(Layer):
         if cfg.bits_g < 32:
             y = grad_quant_barrier(
                 y, cfg.bits_g, exp["grad"], sinks["grad"],
-                ctx.layer_key(self.uid, _SITE_G), **kw,
+                ctx.layer_key(self.uid, _SITE_G),
+                target_overflow_rate=cfg.target_overflow_rate,
+                gate=ctx.update_gate, **kw,
             )
         return y, {"exp": new_exp, "state": qstate["state"]}
 
@@ -304,7 +308,9 @@ class FusedBatchNorm(Layer):
         if cfg.bits_g < 32:
             y = grad_quant_barrier(
                 y, cfg.bits_g, exp["grad"], sinks["grad"],
-                ctx.layer_key(self.uid, _SITE_G), **kw,
+                ctx.layer_key(self.uid, _SITE_G),
+                target_overflow_rate=cfg.target_overflow_rate,
+                gate=ctx.update_gate, **kw,
             )
         return y, {"exp": new_exp, "state": new_state}
 

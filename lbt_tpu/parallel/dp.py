@@ -49,9 +49,11 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
     """
     decay = model.decay_tree()
     n_shards = mesh.shape[AXIS]
+    cadence = getattr(model.cfg, "range_update_every", 1) if model.cfg else 1
 
-    def loss_fn(params, sinks, qstate, x, y, key):
-        ctx = Ctx(train=True, key=key, update=True, psum_axis=AXIS)
+    def loss_fn(params, sinks, qstate, x, y, key, gate):
+        ctx = Ctx(train=True, key=key, update=True, psum_axis=AXIS,
+                  update_gate=gate)
         logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
         loss, acc = model.loss_and_acc(logits, y)
         # global-batch 1/N loss scaling (see train/step.py): backward
@@ -62,10 +64,11 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
     def step_fn(params, qstate, velocity, ebuf, x, y, step, lr, base_key):
         key = jax.random.fold_in(base_key, step)
         key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+        gate = None if cadence == 1 else (step % cadence == 0)
         sinks = model.make_sinks()
         (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True,
-        )(params, sinks, qstate, x, y, key)
+        )(params, sinks, qstate, x, y, key, gate)
 
         sink_cots = jax.lax.pmean(sink_cots, AXIS)
         new_qstate = model.absorb_sinks(new_qstate, sink_cots)

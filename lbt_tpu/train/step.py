@@ -33,19 +33,25 @@ def make_train_step(model: Model, tc: TrainConfig,
     explicit shard_map data-parallel variant with the low-bit all-reduce
     lives in lbt_tpu/parallel/dp.py."""
     decay = model.decay_tree()
+    # Controller cadence (QuantConfig.range_update_every): K == 1 runs the
+    # range controllers every step (reference cadence, trainer.py:157);
+    # K > 1 gates them on (step % K == 0) via a traced bool so the
+    # overflow reductions are skipped at runtime on the other steps.
+    cadence = getattr(model.cfg, "range_update_every", 1) if model.cfg else 1
 
-    def loss_fn(params, sinks, qstate, x, y, key):
-        ctx = Ctx(train=True, key=key, update=True)
+    def loss_fn(params, sinks, qstate, x, y, key, gate):
+        ctx = Ctx(train=True, key=key, update=True, update_gate=gate)
         logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
         loss, acc = model.loss_and_acc(logits, y)
         return loss, (new_qstate, acc)
 
     def train_step(params, qstate, velocity, x, y, step, lr, base_key):
         key = jax.random.fold_in(base_key, step)
+        gate = None if cadence == 1 else (step % cadence == 0)
         sinks = model.make_sinks()
         (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True,
-        )(params, sinks, qstate, x, y, key)
+        )(params, sinks, qstate, x, y, key, gate)
 
         new_qstate = model.absorb_sinks(new_qstate, sink_cots)
 

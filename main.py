@@ -54,6 +54,11 @@ def parse_args():
                    help="lean fused BatchNorm: one input quantization + "
                         "one cotangent barrier (divergence from "
                         "reference's norm+rescale double quantization)")
+    p.add_argument("--range_update_every", type=int, default=1,
+                   help="run the DFXP range controllers every K-th step "
+                        "(1 = reference cadence; larger K skips most of "
+                        "the overflow-reduction cost, see "
+                        "benchmarks/BENCH_NOTES.md)")
     p.add_argument("--bn_momentum", type=float, default=0.999,
                    help="BN running-stats EMA momentum (reference 0.999; "
                         "lower for short runs or eval sees stale stats)")
@@ -148,6 +153,7 @@ def main():
             fused_bn=args.fused_bn,
             bn_momentum=args.bn_momentum,
             faithful_eval=args.faithful_eval,
+            range_update_every=args.range_update_every,
         )
     tc = TrainConfig(
         lr=args.lr, momentum=args.momentum,

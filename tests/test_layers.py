@@ -74,10 +74,14 @@ def test_dense_backward_matches_oracle():
     np.testing.assert_allclose(np.asarray(gp["W"]), Xq.T @ gq, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gp["b"]), gq.sum(0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dx), gq @ Wq.T, atol=1e-5)
-    # sink cotangent = overflow stats of the float cotangent g
+    # sink cotangent = overflow stats of the float cotangent g: at the
+    # default target 0 the framework emits any-overflow *indicators*
+    # (lbt_tpu.dfxp.quantize.overflow_stats), decision-equivalent to the
+    # oracle's exact rates — positive iff the rate is positive.
     ovf, ovf2 = oracle.overflow_rates(g, 8, 2)
-    np.testing.assert_allclose(np.asarray(gs["grad"]), [ovf, ovf2],
-                               atol=1e-7)
+    got = np.asarray(gs["grad"])
+    assert (got[0] > 0) == (ovf > 0)
+    assert (got[1] > 0) == (ovf2 > 0)
 
 
 def test_dense_exponent_controller_updates():

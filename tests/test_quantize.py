@@ -121,6 +121,43 @@ def test_overflow_rates_match_oracle():
         np.testing.assert_allclose(got, want, atol=1e-7)
 
 
+def test_overflow_stats_decision_equivalent():
+    """overflow_stats (the fast min/max indicator form used at the default
+    target 0) must drive update_exponent to the exact same exponent as the
+    oracle's mean-of-mask rates, including exact boundary values
+    (scaled == +-limit, +-limit/2)."""
+    from lbt_tpu.dfxp.quantize import overflow_stats
+
+    rng = np.random.default_rng(11)
+    bits = 8
+    cases = [rng.normal(0, s, (97,)).astype(np.float32)
+             for s in (0.01, 0.5, 1.0, 4.0, 64.0)]
+    # boundary values at exp=2: mult = 2**(8-1-2) = 32, limit = 128
+    # scaled = x*32 -> x = 4.0 gives scaled == limit (overflow, >=)
+    # x = -4.0 gives scaled == -limit (NOT overflow, < is strict)
+    # x = 2.0 / -2.0 hit the half-range boundary the same way
+    cases += [np.array([4.0], np.float32), np.array([-4.0], np.float32),
+              np.array([2.0], np.float32), np.array([-2.0], np.float32),
+              np.array([3.999, -3.999], np.float32)]
+    for x in cases:
+        for exp in (-1, 0, 2, 5):
+            fast = overflow_stats(jnp.asarray(x), bits, jnp.int32(exp), 0.0)
+            ovf, ovf2 = oracle.overflow_rates(x, bits, exp)
+            want = oracle.update_exponent(exp, ovf, ovf2, bits)
+            got = int(update_exponent(jnp.int32(exp), fast, bits, 0.0))
+            assert got == want, (x[:4], exp, np.asarray(fast), (ovf, ovf2))
+
+
+def test_overflow_stats_nonzero_target_falls_back():
+    from lbt_tpu.dfxp.quantize import overflow_stats
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 3.0, (256,)).astype(np.float32)
+    got = np.asarray(overflow_stats(jnp.asarray(x), 8, jnp.int32(2), 0.01))
+    want = oracle.overflow_rates(x, 8, 2)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
 def test_controller_truth_table():
     # widen on any overflow; tighten only if halving is lossless; else hold
     cases = [

@@ -95,6 +95,52 @@ def test_grad_exponents_adapt_during_training():
     assert e1 < e0, (e0, e1)
 
 
+def test_range_update_cadence_gates_controllers():
+    """range_update_every=K: exponents move ONLY on steps where
+    step % K == 0, and the K=1 path is unchanged (controllers every
+    step, the reference cadence)."""
+    import dataclasses
+
+    from lbt_tpu.nn import Dense
+    from lbt_tpu.nn.model import Model
+
+    def run(cadence, n_steps=6):
+        cfg = dataclasses.replace(QuantConfig.uniform(8),
+                                  range_update_every=cadence)
+        model = Model("toy", [Dense("d1", cfg, 20, 4)],
+                      input_shape=(20,), num_classes=4, cfg=cfg)
+        tc = TrainConfig(lr=0.01, batch_size=64)
+        step_fn = make_train_step(model, tc)
+        params, qstate = model.init(jax.random.key(0))
+        vel = momentum_init(params)
+        x, y = _data()
+        # large inputs so the x controller must widen every chance it gets
+        xs = x[:64] * 100.0
+        traj = [int(qstate["d1"]["exp"]["x"])]
+        gtraj = [int(qstate["d1"]["exp"]["grad"])]
+        for i in range(n_steps):
+            params, qstate, vel, _ = step_fn(
+                params, qstate, vel, xs, y[:64], i, jnp.float32(0.0),
+                jax.random.key(1))
+            traj.append(int(qstate["d1"]["exp"]["x"]))
+            gtraj.append(int(qstate["d1"]["exp"]["grad"]))
+        return traj, gtraj
+
+    t1, g1 = run(1)
+    t3, g3 = run(3)
+    # ungated: widens by 1 every step up to the clamp (bits-1 = 7)
+    assert t1[:6] == [2, 3, 4, 5, 6, 7]
+    # gated at K=3: moves only on steps 0 and 3
+    assert t3 == [2, 3, 3, 3, 4, 4, 4]
+    # backward sites gate too: grad exponent holds on off steps
+    for i in range(1, len(g3)):
+        if (i - 1) % 3 != 0:
+            assert g3[i] == g3[i - 1], (i, g3)
+    # and moves at least once on a gated-on step (tiny CE cotangents
+    # tighten), matching the ungated direction
+    assert g3[-1] < g3[0] and g1[-1] < g1[0]
+
+
 def test_lenet_short_training_loss_decreases():
     """BASELINE config 1: tiny CPU-runnable LeNet/MNIST DFP-INT8 slice."""
     cfg = QuantConfig.uniform(8, engine="int8")
