@@ -29,13 +29,15 @@ from lbt_tpu.utils.logging import get_logger
 def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         engine: str, noise_mode: str = "prng",
         fused_bn: bool = False, bn_momentum: float = 0.99,
-        eval_every: int = 1, conv_act_extra: int = 1) -> dict:
+        eval_every: int = 1, conv_act_extra: int = 1,
+        range_update_every: int = 1) -> dict:
     import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
            else dataclasses.replace(
                QuantConfig.uniform(bits, engine=engine,
                                    noise_mode=noise_mode),
-               fused_bn=fused_bn, conv_act_extra=conv_act_extra))
+               fused_bn=fused_bn, conv_act_extra=conv_act_extra,
+               range_update_every=range_update_every))
     # short-horizon runs need a faster BN EMA or eval sees stale running
     # stats (the reference's 0.999 is tuned for ~250k updates)
     cfg = dataclasses.replace(cfg, bn_momentum=bn_momentum)
@@ -73,6 +75,7 @@ def main():
     ap.add_argument("--noise_mode", default="prng")
     ap.add_argument("--fused_bn", action="store_true")
     ap.add_argument("--conv_act_extra", type=int, default=1)
+    ap.add_argument("--range_update_every", type=int, default=1)
     ap.add_argument("--tag", default="")
     ap.add_argument("--bn_momentum", type=float, default=0.99)
     ap.add_argument("--scan_steps", type=int, default=0,
@@ -112,8 +115,10 @@ def main():
     for bits in args.bits:
         r = run(args.model, bits, tc, data, augment, args.engine,
                 args.noise_mode, args.fused_bn, args.bn_momentum,
-                args.eval_every, args.conv_act_extra)
+                args.eval_every, args.conv_act_extra,
+                args.range_update_every)
         r["noise_mode"] = args.noise_mode
+        r["range_update_every"] = args.range_update_every
         r["fused_bn"] = args.fused_bn
         r["conv_act_extra"] = args.conv_act_extra
         print(f"bits={bits}: final top-1 {r['final']['accuracy']:.4f} "

@@ -15,7 +15,6 @@ import glob
 import gzip
 import json
 import os
-import re
 import sys
 from collections import defaultdict
 
@@ -83,19 +82,9 @@ def capture(cfg, batch, unroll, outdir):
           f"({batch * unroll / dt:.0f} img/s)")
 
 
-CATS = [
-    ("total-markers", re.compile(r"^(jit_|while\.|\d+$)")),
-    ("reduce (controllers/BN/loss)", re.compile(r"reduce", re.I)),
-    ("conv", re.compile(r"convolution|^conv\.|conv[0-9]|%conv", re.I)),
-    ("dot", re.compile(r"dot|matmul", re.I)),
-    ("rng", re.compile(r"rng|threefry|random", re.I)),
-    ("scatter/pool-bwd", re.compile(r"scatter", re.I)),
-    ("copy|transpose", re.compile(r"copy|transpose|bitcast", re.I)),
-    ("fusion (elementwise)", re.compile(r"fusion|loop", re.I)),
-]
-
-
 def analyze(outdir):
+    """Roll up device op time by the profiler's ``hlo_category`` and by
+    framework source line (both in each XLA-op event's args)."""
     paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -105,45 +94,34 @@ def analyze(outdir):
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # device-track pids: name them from process_name metadata
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dur_by_name = defaultdict(float)
+    by_cat = defaultdict(float)
+    by_src = defaultdict(float)
+    by_op = defaultdict(float)
     total = 0.0
     for e in events:
-        if e.get("ph") != "X":
+        args = e.get("args") or {}
+        if e.get("ph") != "X" or "hlo_category" not in args:
             continue
-        pname = pid_names.get(e.get("pid"), "")
-        if "TPU" not in pname and "/device" not in pname.lower():
-            continue
-        # XLA op events live on "XLA Ops"-style threads; skip the
-        # "Steps"/launch tracks by requiring a dur and a non-step name
-        name = e.get("name", "")
-        if name.startswith("Step") or name.startswith("tsl::"):
-            continue
-        dur_by_name[name] += e.get("dur", 0.0)
-        total += e.get("dur", 0.0)
-    top = sorted(dur_by_name.items(), key=lambda kv: -kv[1])
-    print(f"\ndevice op time total {total / 1e3:.2f} ms "
-          f"({len(dur_by_name)} distinct ops)  [{os.path.basename(path)}]")
-    print("\ntop 30 ops:")
-    for name, dur in top[:30]:
-        print(f"  {dur / 1e3:9.3f} ms  {dur / max(total, 1) * 100:5.1f}%  "
-              f"{name[:110]}")
-    cat_tot = defaultdict(float)
-    for name, dur in dur_by_name.items():
-        for cat, rx in CATS:
-            if rx.search(name):
-                cat_tot[cat] += dur
-                break
-        else:
-            cat_tot["other"] += dur
-    print("\ncategory rollup:")
-    for cat, dur in sorted(cat_tot.items(), key=lambda kv: -kv[1]):
+        dur = e.get("dur", 0.0)
+        cat = args["hlo_category"]
+        by_cat[cat] += dur
+        by_src[args.get("source", "?")] += dur
+        by_op[(e.get("name", "?"), cat)] += dur
+        total += dur
+    print(f"\ndevice HLO-op time total {total / 1e3:.2f} ms  "
+          f"[{os.path.basename(path)}]")
+    print("\nby hlo_category:")
+    for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  {dur / 1e3:9.3f} ms  {dur / max(total, 1) * 100:5.1f}%  "
               f"{cat}")
+    print("\ntop 20 framework source lines:")
+    for src, dur in sorted(by_src.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {dur / 1e3:9.3f} ms  {dur / max(total, 1) * 100:5.1f}%  "
+              f"{src}")
+    print("\ntop 20 ops:")
+    for (name, cat), dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {dur / 1e3:9.3f} ms  {dur / max(total, 1) * 100:5.1f}%  "
+              f"{name[:70]} [{cat}]")
 
 
 def main():

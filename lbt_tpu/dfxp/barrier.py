@@ -49,28 +49,26 @@ HOLD_STATS = (0.0, 1.0)
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7, 8, 9))
 def _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-             noise_bits, backend, target, gated, sink, gate):
-    del exp, keydata, sink, gate
+             noise_bits, backend, target, run_stats, sink):
+    del exp, keydata, sink
     return x
 
 
 def _barrier_fwd(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-                 noise_bits, backend, target, gated, sink, gate):
+                 noise_bits, backend, target, run_stats, sink):
     del sink
-    return x, (exp, keydata, gate)
+    return x, (exp, keydata)
 
 
 def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, backend,
-                 target, gated, res, g):
-    exp, keydata, gate = res
-    if gated:
-        stats = jax.lax.cond(
-            gate,
-            lambda: overflow_stats(g, bits, exp, target),
-            lambda: jnp.array(HOLD_STATS, jnp.float32),
-        )
-    else:
+                 target, run_stats, res, g):
+    exp, keydata = res
+    if run_stats:
         stats = overflow_stats(g, bits, exp, target)
+    else:
+        # controllers statically off this step (range_update_every
+        # cadence): no reduction at all, exponent holds via the sentinel
+        stats = jnp.array(HOLD_STATS, jnp.float32)
     key = None if keydata is None else wrap_key(keydata)
     gq = quantize(
         g, bits, exp, key,
@@ -78,7 +76,7 @@ def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, backend,
         noise_bits=noise_bits, backend=backend,
     )
     key_cot = None if keydata is None else _float0(keydata)
-    return (gq, _float0(exp), key_cot, stats, _float0(gate))
+    return (gq, _float0(exp), key_cot, stats)
 
 
 _barrier.defvjp(_barrier_fwd, _barrier_bwd)
@@ -96,20 +94,20 @@ def grad_quant_barrier(
     noise_bits: int = 24,
     backend: str = "xla",
     target_overflow_rate: float = 0.0,
-    gate: Optional[jax.Array] = None,
+    gate: bool = True,
 ) -> jax.Array:
     """Identity forward; backward quantizes the cotangent at ``(bits, exp)``
     and emits its overflow stats (:func:`overflow_stats` at
     ``target_overflow_rate``) as the cotangent of ``sink``.
 
-    ``gate`` (optional traced bool): when False the backward stat
-    reduction is skipped and the sink cotangent is the hold sentinel
-    (``HOLD_STATS``) — used by ``QuantConfig.range_update_every``."""
+    ``gate`` (static bool): when False the backward stat reduction is
+    elided entirely and the sink cotangent is the hold sentinel
+    (``HOLD_STATS``) — the controllers-off branch of
+    ``QuantConfig.range_update_every`` (the cadence cond lives around
+    the whole train step, train/step.py)."""
     if bits >= 32:
         return x
     keydata = None if key is None else jax.random.key_data(key)
-    gated = gate is not None
-    gate_arr = jnp.asarray(True) if gate is None else gate
     return _barrier(x, bits, exp, keydata, stochastic, noise_shared_axis0,
-                    noise_bits, backend, target_overflow_rate, gated,
-                    sink, gate_arr)
+                    noise_bits, backend, target_overflow_rate, bool(gate),
+                    sink)

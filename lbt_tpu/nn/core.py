@@ -55,17 +55,21 @@ class Ctx:
     across it so that quantizer exponents and running statistics stay
     replicated (the global-batch semantics of the reference, scaled).
 
-    ``update_gate``: optional traced bool scalar gating the range
-    controllers at runtime (``QuantConfig.range_update_every``): when
-    False the overflow reductions are skipped entirely (lax.cond) and
-    every exponent holds.  None = ungated (controllers run whenever
-    ``update`` is True)."""
+    ``update_gate``: STATIC bool gating the range controllers
+    (``QuantConfig.range_update_every``): False elides every overflow
+    reduction from the compiled program and holds all exponents (the
+    barrier sinks emit a hold sentinel).  The per-step choice between
+    the gated-on and gated-off variants is a single ``lax.cond`` around
+    the whole train step (train/step.py) — per-site runtime conds
+    measured slower than the reductions they skip.  BN EMA and the
+    error-feedback buffers are NOT gated (they are state the reference
+    updates every step)."""
 
     train: bool
     key: Optional[jax.Array] = None
     update: Optional[bool] = None
     psum_axis: Optional[str] = None
-    update_gate: Optional[jax.Array] = None
+    update_gate: bool = True
 
     def __post_init__(self):
         if self.update is None:
@@ -122,22 +126,10 @@ class Layer:
         """Forward-site controller step (measured on the pre-quant tensor
         at the current exponent; reference dynamic_fixed_point.py:40-41,
         :70-94).  No-op outside training."""
-        if not ctx.update or bits >= 32:
+        if not ctx.update or not ctx.update_gate or bits >= 32:
             return exp
         target = self.cfg.target_overflow_rate
-        if ctx.update_gate is None:
-            rates = overflow_stats(x, bits, exp, target)
-        else:
-            # gated cadence: skip the reduction at runtime on off steps;
-            # the hold sentinel [0, 1] makes update_exponent a no-op.
-            # The pmean stays OUTSIDE the cond (collectives inside
-            # conditionals are not portable; the gate is replicated so
-            # the sentinel is uniform too).
-            rates = jax.lax.cond(
-                ctx.update_gate,
-                lambda: overflow_stats(x, bits, exp, target),
-                lambda: jnp.array([0.0, 1.0], jnp.float32),
-            )
+        rates = overflow_stats(x, bits, exp, target)
         if ctx.psum_axis is not None:
             rates = jax.lax.pmean(rates, ctx.psum_axis)
         return update_exponent(exp, rates, bits, target)

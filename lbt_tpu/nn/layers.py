@@ -336,35 +336,32 @@ def _float0(x) -> np.ndarray:
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7, 8, 9))
 def _gradbuf(x, bits, exp, keydata, buffer, stochastic, shared, backend,
-             target, gated, sink_stats, sink_buffer, gate):
-    del exp, keydata, buffer, sink_stats, sink_buffer, gate
+             target, run_stats, sink_stats, sink_buffer):
+    del exp, keydata, buffer, sink_stats, sink_buffer
     return x
 
 
 def _gradbuf_fwd(x, bits, exp, keydata, buffer, stochastic, shared, backend,
-                 target, gated, sink_stats, sink_buffer, gate):
-    return x, (exp, keydata, buffer, gate)
+                 target, run_stats, sink_stats, sink_buffer):
+    return x, (exp, keydata, buffer)
 
 
-def _gradbuf_bwd(bits, stochastic, shared, backend, target, gated, res, g):
+def _gradbuf_bwd(bits, stochastic, shared, backend, target, run_stats,
+                 res, g):
     from lbt_tpu.dfxp.barrier import HOLD_STATS
-    exp, keydata, buffer, gate = res
+    exp, keydata, buffer = res
     total = g + buffer
-    if gated:
-        stats = jax.lax.cond(
-            gate,
-            lambda: overflow_stats(total, bits, exp, target),
-            lambda: jnp.array(HOLD_STATS, jnp.float32),
-        )
-    else:
+    if run_stats:
         stats = overflow_stats(total, bits, exp, target)
+    else:
+        stats = jnp.array(HOLD_STATS, jnp.float32)
     key = wrap_key(keydata) if stochastic else None
     gq = quantize(total, bits, exp, key,
                   stochastic=stochastic, noise_shared_axis0=shared,
                   backend=backend)
     new_buffer = total - gq
     return (gq, _float0(exp), _float0(keydata), jnp.zeros_like(buffer),
-            stats, new_buffer, _float0(gate))
+            stats, new_buffer)
 
 
 _gradbuf.defvjp(_gradbuf_fwd, _gradbuf_bwd)
@@ -413,14 +410,12 @@ class GradientBuffer(Layer):
         key = ctx.layer_key(self.uid, _SITE_G)
         keydata = (jax.random.key_data(key) if key is not None
                    else np.zeros((2,), np.uint32))
-        gate = ctx.update_gate
         y = _gradbuf(
             x, cfg.bits_g, qstate["exp"]["grad"], keydata,
             qstate["state"]["buffer"], cfg.stochastic,
             cfg.noise_shared_axis0, cfg.quant_backend,
-            cfg.target_overflow_rate, gate is not None,
+            cfg.target_overflow_rate, bool(ctx.update_gate),
             sinks["grad"], sinks["buffer"],
-            jnp.asarray(True) if gate is None else gate,
         )
         return y, qstate
 

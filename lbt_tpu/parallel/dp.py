@@ -51,24 +51,30 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
     n_shards = mesh.shape[AXIS]
     cadence = getattr(model.cfg, "range_update_every", 1) if model.cfg else 1
 
-    def loss_fn(params, sinks, qstate, x, y, key, gate):
-        ctx = Ctx(train=True, key=key, update=True, psum_axis=AXIS,
-                  update_gate=gate)
-        logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
-        loss, acc = model.loss_and_acc(logits, y)
-        # global-batch 1/N loss scaling (see train/step.py): backward
-        # cotangent magnitudes then match a single-device full-batch run
-        loss = loss / jax.lax.psum(jnp.float32(1.0), AXIS)
-        return loss, (new_qstate, acc)
+    def make_loss_fn(gate: bool):
+        def loss_fn(params, sinks, qstate, x, y, key):
+            ctx = Ctx(train=True, key=key, update=True, psum_axis=AXIS,
+                      update_gate=gate)
+            logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
+            loss, acc = model.loss_and_acc(logits, y)
+            # global-batch 1/N loss scaling (see train/step.py): backward
+            # cotangent magnitudes then match a single-device full-batch
+            # run
+            loss = loss / jax.lax.psum(jnp.float32(1.0), AXIS)
+            return loss, (new_qstate, acc)
+        return loss_fn
 
-    def step_fn(params, qstate, velocity, ebuf, x, y, step, lr, base_key):
+    def make_step_fn(gate: bool):
+      loss_fn = make_loss_fn(gate)
+
+      def step_fn(params, qstate, velocity, ebuf, x, y, step, lr,
+                  base_key):
         key = jax.random.fold_in(base_key, step)
         key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
-        gate = None if cadence == 1 else (step % cadence == 0)
         sinks = model.make_sinks()
         (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True,
-        )(params, sinks, qstate, x, y, key, gate)
+        )(params, sinks, qstate, x, y, key)
 
         sink_cots = jax.lax.pmean(sink_cots, AXIS)
         new_qstate = model.absorb_sinks(new_qstate, sink_cots)
@@ -95,12 +101,32 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
         return (new_params, new_qstate, new_velocity, new_ebuf,
                 {"loss": loss, "accuracy": acc})
 
-    mapped = jax.shard_map(
-        step_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(mapped,
-                   donate_argnums=(0, 1, 2, 3) if donate else ())
+      return step_fn
+
+    def compile_variant(gate: bool):
+        mapped = jax.shard_map(
+            make_step_fn(gate),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped,
+                       donate_argnums=(0, 1, 2, 3) if donate else ())
+
+    step_on = compile_variant(True)
+    if cadence == 1:
+        return step_on
+    # Controller cadence under DP: the on/off variants differ in their
+    # collective structure (the on-variant pmeans overflow rates), so the
+    # choice is made on the HOST per step — the step index is a Python
+    # int in the Trainer's eager loop — instead of a lax.cond whose
+    # branches would contain collectives.
+    step_off = compile_variant(False)
+
+    def dispatch(params, qstate, velocity, ebuf, x, y, step, lr, base_key):
+        idx = int(step)  # requires a host-side step index
+        fn = step_on if idx % cadence == 0 else step_off
+        return fn(params, qstate, velocity, ebuf, x, y, step, lr, base_key)
+
+    return dispatch

@@ -35,32 +35,52 @@ def make_train_step(model: Model, tc: TrainConfig,
     decay = model.decay_tree()
     # Controller cadence (QuantConfig.range_update_every): K == 1 runs the
     # range controllers every step (reference cadence, trainer.py:157);
-    # K > 1 gates them on (step % K == 0) via a traced bool so the
-    # overflow reductions are skipped at runtime on the other steps.
+    # K > 1 compiles TWO variants of the full step — one with the
+    # controller reductions, one with them statically elided — and picks
+    # per step with a single lax.cond on (step % K == 0).  A traced gate
+    # at every site was measured slower than the reductions it skipped
+    # (per-site conditional overhead, benchmarks/BENCH_NOTES.md).
     cadence = getattr(model.cfg, "range_update_every", 1) if model.cfg else 1
 
-    def loss_fn(params, sinks, qstate, x, y, key, gate):
-        ctx = Ctx(train=True, key=key, update=True, update_gate=gate)
-        logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
-        loss, acc = model.loss_and_acc(logits, y)
-        return loss, (new_qstate, acc)
+    def make_loss_fn(gate: bool):
+        def loss_fn(params, sinks, qstate, x, y, key):
+            ctx = Ctx(train=True, key=key, update=True, update_gate=gate)
+            logits, new_qstate = model.apply(params, qstate, sinks, x, ctx)
+            loss, acc = model.loss_and_acc(logits, y)
+            return loss, (new_qstate, acc)
+        return loss_fn
+
+    def make_body(gate: bool):
+        loss_fn = make_loss_fn(gate)
+
+        def body(params, qstate, velocity, x, y, key, lr):
+            sinks = model.make_sinks()
+            (loss, (new_qstate, acc)), (grads, sink_cots) = \
+                jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True,
+                )(params, sinks, qstate, x, y, key)
+
+            new_qstate = model.absorb_sinks(new_qstate, sink_cots)
+
+            grads = apply_weight_decay(grads, params, decay)
+            new_params, new_velocity = momentum_update(
+                params, velocity, grads, lr, tc.momentum,
+            )
+            metrics = {"loss": loss, "accuracy": acc}
+            return new_params, new_qstate, new_velocity, metrics
+        return body
+
+    body_on = make_body(True)
+    body_off = make_body(False) if cadence > 1 else None
 
     def train_step(params, qstate, velocity, x, y, step, lr, base_key):
         key = jax.random.fold_in(base_key, step)
-        gate = None if cadence == 1 else (step % cadence == 0)
-        sinks = model.make_sinks()
-        (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True,
-        )(params, sinks, qstate, x, y, key, gate)
-
-        new_qstate = model.absorb_sinks(new_qstate, sink_cots)
-
-        grads = apply_weight_decay(grads, params, decay)
-        new_params, new_velocity = momentum_update(
-            params, velocity, grads, lr, tc.momentum,
+        if cadence == 1:
+            return body_on(params, qstate, velocity, x, y, key, lr)
+        return jax.lax.cond(
+            step % cadence == 0, body_on, body_off,
+            params, qstate, velocity, x, y, key, lr,
         )
-        metrics = {"loss": loss, "accuracy": acc}
-        return new_params, new_qstate, new_velocity, metrics
 
     if jit:
         return jax.jit(train_step,

@@ -71,6 +71,53 @@ def test_dp_step_matches_single_device():
                                rtol=1e-5)
 
 
+def test_dp_gated_cadence_matches_single_device():
+    """range_update_every under shard_map: the gated DP step (lax.cond
+    around the overflow reductions, pmean outside the cond) must track
+    the gated single-device step exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", stochastic=False),
+        range_update_every=2)
+    model = Model("toy", [
+        Dense("d1", cfg, 20, 64),
+        ReLU(),
+        Dense("d2", cfg, 64, 4),
+    ], input_shape=(20,), num_classes=4, cfg=cfg)
+    tc = TrainConfig(lr=0.05, batch_size=64)
+    mesh = make_mesh(data=8, model=1)
+
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    x, y = _data()
+    x = x * 50.0  # force controller movement on gated-on steps
+
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+    single = make_train_step(model, tc)
+    p1, q1, v1 = copy(params), copy(qstate), copy(vel)
+    for i in range(4):
+        p1, q1, v1, _ = single(p1, q1, v1, x, y, i, jnp.float32(0.05),
+                               jax.random.key(9))
+
+    dp = make_dp_train_step(model, tc, mesh, lowbit_bits=None)
+    ebuf = init_error_buffers(params)
+    p2, q2, v2 = copy(params), copy(qstate), copy(vel)
+    for i in range(4):
+        p2, q2, v2, ebuf, _ = dp(p2, q2, v2, ebuf, x, y,
+                                 jnp.int32(i), jnp.float32(0.05),
+                                 jax.random.key(9))
+
+    for a, b in zip(jax.tree.leaves(q1), jax.tree.leaves(q2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # the exponents did move (on gated-on steps) for the huge inputs
+    assert int(q2["d1"]["exp"]["x"]) != int(qstate["d1"]["exp"]["x"])
+
+
 def test_dp_lowbit_step_trains():
     model = _toy_model(stochastic=False)
     tc = TrainConfig(lr=0.05, batch_size=64)
