@@ -72,12 +72,16 @@ def measure(cfg: QuantConfig, batch: int, unroll: int, depth: int,
     st = (params, qstate, velocity)
     lr = jnp.float32(1e-2)
     key = jax.random.key(1)
-    *st, losses = blockj(*st, jnp.int32(0), lr, key)
+    # measure steady-state training: start the step counter past the
+    # controller warmup window (range_update_warmup_steps) so cadence
+    # configs run in their gated regime, as ~all of a real run does
+    base = jnp.int32(100_000)
+    *st, losses = blockj(*st, base, lr, key)
     float(losses[-1])  # warm-up; forced completion via readback
     best = float("inf")
     for r in range(repeats):
         t0 = time.perf_counter()
-        *st, losses = blockj(*st, jnp.int32((r + 1) * unroll), lr, key)
+        *st, losses = blockj(*st, base + (r + 1) * unroll, lr, key)
         float(losses[-1])
         best = min(best, (time.perf_counter() - t0) / unroll)
     return best

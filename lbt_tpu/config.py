@@ -96,6 +96,13 @@ class QuantConfig:
     # quantization itself still runs every step at the last exponents.
     # Divergence from reference cadence; 1 (default) = faithful.
     range_update_every: int = 1
+    # With range_update_every > 1, still run the controllers EVERY step
+    # for the first N steps: the cold-start exponents (initial_exponent
+    # everywhere) are far from their operating points and DFXP-8 training
+    # diverges if early clipping persists for K steps at a time
+    # (benchmarks/BENCH_NOTES.md: ru8 without warmup scored 8% vs 99.9%
+    # top-1 on the 12-epoch harness).  Ignored when range_update_every=1.
+    range_update_warmup_steps: int = 200
 
     def __post_init__(self):
         for name in ("bits_w", "bits_a", "bits_b", "bits_g"):

@@ -50,6 +50,8 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
     decay = model.decay_tree()
     n_shards = mesh.shape[AXIS]
     cadence = getattr(model.cfg, "range_update_every", 1) if model.cfg else 1
+    ctrl_warmup = (getattr(model.cfg, "range_update_warmup_steps", 0)
+                   if model.cfg else 0)
 
     def make_loss_fn(gate: bool):
         def loss_fn(params, sinks, qstate, x, y, key):
@@ -126,7 +128,8 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
 
     def dispatch(params, qstate, velocity, ebuf, x, y, step, lr, base_key):
         idx = int(step)  # requires a host-side step index
-        fn = step_on if idx % cadence == 0 else step_off
+        fn = (step_on if idx % cadence == 0 or idx < ctrl_warmup
+              else step_off)
         return fn(params, qstate, velocity, ebuf, x, y, step, lr, base_key)
 
     return dispatch

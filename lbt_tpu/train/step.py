@@ -41,6 +41,8 @@ def make_train_step(model: Model, tc: TrainConfig,
     # at every site was measured slower than the reductions it skipped
     # (per-site conditional overhead, benchmarks/BENCH_NOTES.md).
     cadence = getattr(model.cfg, "range_update_every", 1) if model.cfg else 1
+    ctrl_warmup = (getattr(model.cfg, "range_update_warmup_steps", 0)
+                   if model.cfg else 0)
 
     def make_loss_fn(gate: bool):
         def loss_fn(params, sinks, qstate, x, y, key):
@@ -77,8 +79,9 @@ def make_train_step(model: Model, tc: TrainConfig,
         key = jax.random.fold_in(base_key, step)
         if cadence == 1:
             return body_on(params, qstate, velocity, x, y, key, lr)
+        run_ctrl = jnp.logical_or(step % cadence == 0, step < ctrl_warmup)
         return jax.lax.cond(
-            step % cadence == 0, body_on, body_off,
+            run_ctrl, body_on, body_off,
             params, qstate, velocity, x, y, key, lr,
         )
 

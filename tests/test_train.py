@@ -104,9 +104,10 @@ def test_range_update_cadence_gates_controllers():
     from lbt_tpu.nn import Dense
     from lbt_tpu.nn.model import Model
 
-    def run(cadence, n_steps=6):
+    def run(cadence, n_steps=6, warmup=0):
         cfg = dataclasses.replace(QuantConfig.uniform(8),
-                                  range_update_every=cadence)
+                                  range_update_every=cadence,
+                                  range_update_warmup_steps=warmup)
         model = Model("toy", [Dense("d1", cfg, 20, 4)],
                       input_shape=(20,), num_classes=4, cfg=cfg)
         tc = TrainConfig(lr=0.01, batch_size=64)
@@ -139,6 +140,9 @@ def test_range_update_cadence_gates_controllers():
     # and moves at least once on a gated-on step (tiny CE cotangents
     # tighten), matching the ungated direction
     assert g3[-1] < g3[0] and g1[-1] < g1[0]
+    # warmup window: controllers run every step while step < warmup
+    t3w, _ = run(3, warmup=4)
+    assert t3w == [2, 3, 4, 5, 6, 6, 6]  # steps 0-3 warm, 4-5 gated off
 
 
 def test_lenet_short_training_loss_decreases():
