@@ -67,43 +67,43 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
         return loss_fn
 
     def make_step_fn(gate: bool):
-      loss_fn = make_loss_fn(gate)
+        loss_fn = make_loss_fn(gate)
 
-      def step_fn(params, qstate, velocity, ebuf, x, y, step, lr,
-                  base_key):
-        key = jax.random.fold_in(base_key, step)
-        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
-        sinks = model.make_sinks()
-        (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True,
-        )(params, sinks, qstate, x, y, key)
+        def step_fn(params, qstate, velocity, ebuf, x, y, step, lr,
+                    base_key):
+            key = jax.random.fold_in(base_key, step)
+            key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+            sinks = model.make_sinks()
+            (loss, (new_qstate, acc)), (grads, sink_cots) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True,
+            )(params, sinks, qstate, x, y, key)
 
-        sink_cots = jax.lax.pmean(sink_cots, AXIS)
-        new_qstate = model.absorb_sinks(new_qstate, sink_cots)
+            sink_cots = jax.lax.pmean(sink_cots, AXIS)
+            new_qstate = model.absorb_sinks(new_qstate, sink_cots)
 
-        if lowbit_bits is not None:
-            if lowbit_wire is not None:
-                grads, new_ebuf = ring_lowbit_allreduce(
-                    grads, ebuf, AXIS, n_shards, bits=lowbit_bits,
-                    wire=lowbit_wire, reduce="sum")
+            if lowbit_bits is not None:
+                if lowbit_wire is not None:
+                    grads, new_ebuf = ring_lowbit_allreduce(
+                        grads, ebuf, AXIS, n_shards, bits=lowbit_bits,
+                        wire=lowbit_wire, reduce="sum")
+                else:
+                    grads, new_ebuf = lowbit_allreduce(
+                        grads, ebuf, AXIS, bits=lowbit_bits, reduce="sum",
+                        num_shards=n_shards)
             else:
-                grads, new_ebuf = lowbit_allreduce(
-                    grads, ebuf, AXIS, bits=lowbit_bits, reduce="sum",
-                    num_shards=n_shards)
-        else:
-            grads = jax.lax.psum(grads, AXIS)
-            new_ebuf = ebuf
+                grads = jax.lax.psum(grads, AXIS)
+                new_ebuf = ebuf
 
-        loss = jax.lax.psum(loss, AXIS)
-        acc = jax.lax.pmean(acc, AXIS)
+            loss = jax.lax.psum(loss, AXIS)
+            acc = jax.lax.pmean(acc, AXIS)
 
-        grads = apply_weight_decay(grads, params, decay)
-        new_params, new_velocity = momentum_update(
-            params, velocity, grads, lr, tc.momentum)
-        return (new_params, new_qstate, new_velocity, new_ebuf,
-                {"loss": loss, "accuracy": acc})
+            grads = apply_weight_decay(grads, params, decay)
+            new_params, new_velocity = momentum_update(
+                params, velocity, grads, lr, tc.momentum)
+            return (new_params, new_qstate, new_velocity, new_ebuf,
+                    {"loss": loss, "accuracy": acc})
 
-      return step_fn
+        return step_fn
 
     def compile_variant(gate: bool):
         mapped = jax.shard_map(
