@@ -174,6 +174,12 @@ class Trainer:
         if self.native is not None:
             batches = device_prefetch(self.native.epoch(epoch),
                                       device=placement)
+        elif "train_iter" in self.dataset:
+            # streaming dataset (e.g. data/imagefolder.py): the source
+            # shuffles/augments per epoch and yields ready batches
+            batches = device_prefetch(
+                self.dataset["train_iter"](epoch, tc.batch_size),
+                device=placement)
         else:
             xtr, ytr = self.dataset["train"]
             batches = device_prefetch(
@@ -226,6 +232,8 @@ class Trainer:
         K = tc.scan_steps
         if self.native is not None:
             it = self.native.epoch(epoch)
+        elif "train_iter" in self.dataset:
+            it = iter(self.dataset["train_iter"](epoch, tc.batch_size))
         else:
             xtr, ytr = self.dataset["train"]
             it = batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
@@ -297,12 +305,16 @@ class Trainer:
 
     def evaluate(self) -> Dict[str, float]:
         tc = self.tc
-        xte, yte = self.dataset["test"]
+        if "test_iter" in self.dataset:
+            batches = self.dataset["test_iter"](tc.eval_batch_size)
+        else:
+            xte, yte = self.dataset["test"]
+            batches = batch_iterator(xte, yte, tc.eval_batch_size,
+                                     shuffle=False, drop_remainder=False)
         tot = {"loss": 0.0, "accuracy": 0.0}
         n_batches = 0
         key = jax.random.fold_in(self.base_key, 0xE7A1)
-        for x, y in batch_iterator(xte, yte, tc.eval_batch_size,
-                                   shuffle=False, drop_remainder=False):
+        for x, y in batches:
             m = self.eval_step(self.params, self.qstate, x, y, key)
             m = jax.device_get(m)
             tot["loss"] += float(m["loss"])

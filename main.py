@@ -82,6 +82,12 @@ def parse_args():
     # data / scale
     p.add_argument("--n_train", type=int, default=0)
     p.add_argument("--n_test", type=int, default=0)
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="stream real data from an ImageFolder tree "
+                        "(<dir>/train/<class>/*.jpeg, optional "
+                        "<dir>/val/...) instead of the packaged/"
+                        "synthetic arrays — decode + RandomResizedCrop/"
+                        "flip on host threads (data/imagefolder.py)")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--resume", action="store_true")
@@ -182,11 +188,25 @@ def main():
         model_kw["gradient_buffer_batch"] = args.batch_size
     model = build_model(args.model, cfg, **model_kw)
     ds_name = MODEL_DATASET[args.model]
-    data = load_dataset(ds_name, n_train=args.n_train, n_test=args.n_test)
-    if data["synthetic"]:
-        logger.warning("dataset %s not found locally - SYNTHETIC data",
-                       ds_name)
-    augment = None if args.no_augment else make_augment(ds_name)
+    if args.data_dir:
+        from lbt_tpu.data.imagefolder import streaming_dataset
+        image_size = model.input_shape[0]
+        val = os.path.join(args.data_dir, "val")
+        data = streaming_dataset(
+            os.path.join(args.data_dir, "train"),
+            val if os.path.isdir(val) else None,
+            image_size=image_size, seed=args.seed)
+        augment = None  # the streaming source augments on the host
+        if args.native_loader:
+            raise SystemExit("--native_loader needs in-memory arrays; "
+                             "drop it when using --data_dir streaming")
+    else:
+        data = load_dataset(ds_name, n_train=args.n_train,
+                            n_test=args.n_test)
+        if data["synthetic"]:
+            logger.warning("dataset %s not found locally - SYNTHETIC data",
+                           ds_name)
+        augment = None if args.no_augment else make_augment(ds_name)
 
     # Trainer.train() auto-resumes from checkpoint_dir when one exists;
     # --resume is accepted for explicitness
