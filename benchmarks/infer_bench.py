@@ -38,10 +38,14 @@ from lbt_tpu.models import imagenet_resnet
 
 
 def measure(cfg: QuantConfig, batch: int, depth: int, image: int,
-            classes: int, unroll: int = 20, repeats: int = 3) -> float:
+            classes: int, unroll: int = 20, repeats: int = 3,
+            fold_bn: bool = False) -> float:
     model = imagenet_resnet(cfg, depth, num_classes=classes,
                             image_size=image)
     params, qstate = model.init(jax.random.key(0))
+    if fold_bn:
+        from lbt_tpu.infer import fold_batchnorm
+        model, params, qstate = fold_batchnorm(model, params, qstate)
     predict = make_predict_fn(model)
 
     # scan-unrolled block over a device-resident batch pool: amortizes
@@ -79,7 +83,14 @@ CONFIGS = {
     "int8-a8": dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", stochastic=False),
         conv_act_extra=0),
+    # int8-a8 with BatchNorm folded into the conv weights
+    # (lbt_tpu.infer.fold_batchnorm): no BN elementwise pass, no BN
+    # input-quantization site — the full deployment artifact
+    "int8-a8-fold": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", stochastic=False),
+        conv_act_extra=0),
 }
+FOLDED = {"int8-a8-fold"}
 
 
 def main():
@@ -96,7 +107,7 @@ def main():
     for name in names:
         for batch in args.batches:
             dt = measure(CONFIGS[name], batch, args.depth, args.image,
-                         args.classes)
+                         args.classes, fold_bn=name in FOLDED)
             ips = batch / dt
             out["results"].append({
                 "config": name, "batch": batch,

@@ -14,15 +14,21 @@ model deploys as:
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from lbt_tpu.dfxp.quantize import dequantize, multiplier, quantize_int
-from lbt_tpu.nn.core import Ctx
+from lbt_tpu.dfxp.quantize import (EXP_MIN, dequantize, multiplier,
+                                   quantize_int)
+from lbt_tpu.nn.blocks import ResidualBlock
+from lbt_tpu.nn.core import Ctx, Sequential
+from lbt_tpu.nn.layers import Conv2d, Dense
 from lbt_tpu.nn.model import Model
+from lbt_tpu.nn.norm import BatchNorm, FusedBatchNorm, Normalization
 from lbt_tpu.train import checkpoint as ckpt
 
 
@@ -42,6 +48,122 @@ def make_predict_fn(model: Model, return_probs: bool = False):
         return labels
 
     return jax.jit(predict)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm folding (serving-time graph transform)
+# ---------------------------------------------------------------------------
+
+
+def _fit_exponent(x, bits: int) -> jnp.ndarray:
+    """Smallest DFXP exponent whose grid covers max|x| without clipping —
+    the value the range controller (reference dynamic_fixed_point.py:70-94)
+    would converge to for a static tensor at target overflow 0, with the
+    same upper clamp ``exp <= bits-1`` (reference :94)."""
+    maxabs = float(np.max(np.abs(np.asarray(x))))
+    if maxabs == 0.0:
+        return jnp.int32(0)
+    limit = 2.0 ** (bits - 1) - 1  # codes clip at [-2^(b-1), 2^(b-1)-1]
+    e = int(np.ceil(np.log2(maxabs / limit))) + bits - 1
+    return jnp.int32(max(min(e, bits - 1), EXP_MIN))
+
+
+def _bn_affine(bn: BatchNorm, p: Dict, q: Dict):
+    """(scale, shift, running) of a BatchNorm wrapper at eval time:
+    ``y = x * scale + shift`` with running statistics."""
+    inner = bn.layers
+    if len(inner) == 1 and isinstance(inner[0], FusedBatchNorm):
+        fl = inner[0]
+        stats = q[fl.name]["state"]
+        aff = p[fl.name]
+        eps = fl.eps
+    else:
+        norm, resc = inner
+        assert isinstance(norm, Normalization)
+        stats = q[norm.name]["state"]
+        aff = p[resc.name]
+        eps = norm.eps
+    scale = aff["gamma"] / jnp.sqrt(stats["var"] + eps)
+    shift = aff["beta"] - stats["mean"] * scale
+    return scale, shift
+
+
+def _fold_pair(lyr, p, q, bn: BatchNorm, pb, qb):
+    """Fold ``bn`` (eval affine on running stats) into the preceding
+    Conv2d/Dense: ``bn(W*x + b) == (W*scale)*x + (b*scale + shift)`` with
+    scale broadcast over the output-channel (last W) axis.  Weight/bias
+    exponents are refit to the folded tensors."""
+    scale, shift = _bn_affine(bn, pb, qb)
+    W = p["W"] * scale  # ksize (kh,kw,cin,cout) / (in,units): last axis
+    b = shift + (p["b"] * scale if lyr.use_bias else 0.0)
+
+    folded = copy.copy(lyr)
+    folded.use_bias = True
+    cfg = lyr.cfg
+    exp = dict(q["exp"])
+    if "w" in exp:
+        exp["w"] = _fit_exponent(W, cfg.bits_w)
+    if cfg.bits_b < 32:
+        exp["b"] = _fit_exponent(b, cfg.bits_b)
+    return folded, {"W": W, "b": b}, {"exp": exp,
+                                      "state": dict(q.get("state", {}))}
+
+
+def _fold_inplace(layer, p, q):
+    """Recursively rewrite ``layer``'s subtree (a deep copy — safe to
+    mutate), returning the matching rewritten (params, qstate)."""
+    if isinstance(layer, Sequential):
+        kids = layer.layers
+        new_layers, new_p, new_q = [], {}, {}
+        i = 0
+        while i < len(kids):
+            child = kids[i]
+            nxt = kids[i + 1] if i + 1 < len(kids) else None
+            if isinstance(child, (Conv2d, Dense)) and isinstance(
+                    nxt, BatchNorm):
+                fc, fp, fq = _fold_pair(
+                    child, p[child.name], q[child.name],
+                    nxt, p[nxt.name], q[nxt.name])
+                new_layers.append(fc)
+                new_p[fc.name] = fp
+                new_q[fc.name] = fq
+                i += 2
+                continue
+            cp, cq = _fold_inplace(
+                child, p.get(child.name, {}), q.get(child.name, {}))
+            new_layers.append(child)
+            new_p[child.name] = cp
+            new_q[child.name] = cq
+            i += 1
+        layer.layers = new_layers
+        return new_p, new_q
+    if isinstance(layer, ResidualBlock):  # incl. ResidualBottleneck
+        pr, qr = _fold_inplace(layer.residual, p["residual"], q["residual"])
+        ps, qs = _fold_inplace(layer.shortcut, p["shortcut"], q["shortcut"])
+        return ({"residual": pr, "shortcut": ps},
+                {"residual": qr, "shortcut": qs})
+    return p, q
+
+
+def fold_batchnorm(model: Model, params, qstate):
+    """Serving-time BN folding: returns ``(model', params', qstate')``
+    with every Conv2d/Dense + BatchNorm pair replaced by one biased
+    conv/dense whose weights absorb the running-statistics affine
+    (``W' = W * gamma/sqrt(var+eps)``, ``b' = beta - mean*gamma/sqrt(...)``),
+    weight/bias exponents refit to the folded tensors.
+
+    The folded model is a *deployment* artifact: the BN input-quantization
+    site disappears (its rounding no longer perturbs the output) and eval
+    runs one elementwise pass less per BN.  It must not be trained — the
+    running statistics are frozen into the weights.  The reference has no
+    deployment path at all (save-only checkpoints, reference
+    trainer.py:189-192); standard practice supplied here.
+    """
+    net = copy.deepcopy(model.net)
+    p, q = _fold_inplace(net, params, qstate)
+    folded = Model(model.name, net.layers, model.input_shape,
+                   model.num_classes, model.cfg)
+    return folded, p, q
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +288,10 @@ class Predictor:
     >>> labels = p(batch)
     """
 
-    def __init__(self, model: Model, params, qstate):
+    def __init__(self, model: Model, params, qstate,
+                 fold_bn: bool = False):
+        if fold_bn:
+            model, params, qstate = fold_batchnorm(model, params, qstate)
         self.model = model
         self.params = params
         self.qstate = qstate
@@ -174,7 +299,8 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, model: Model, directory: str,
-                        step: Optional[int] = None) -> "Predictor":
+                        step: Optional[int] = None,
+                        fold_bn: bool = False) -> "Predictor":
         params, qstate = model.init(jax.random.key(0))
         state = ckpt.restore_checkpoint(
             directory,
@@ -182,7 +308,8 @@ class Predictor:
              "velocity": params, "epoch": 0},
             step,
         )
-        return cls(model, state["params"], state["qstate"])
+        return cls(model, state["params"], state["qstate"],
+                   fold_bn=fold_bn)
 
     def __call__(self, x) -> jax.Array:
         return self._fn(self.params, self.qstate, x)
