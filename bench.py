@@ -11,9 +11,10 @@ controllers + SGD) and prints ONE JSON line:
 
 Headline config: integer-code engine, fused counter-hash stochastic
 rounding, lean fused BatchNorm, controller cadence 8 with per-step
-warmup (each knob accuracy-parity validated on the 12-epoch harness;
-fused_bn also at 60 epochs — benchmarks/BENCH_NOTES.md).  Batch 128:
-the best measured per-chip operating point.  Baseline: bf16 fake-quant
+warmup, bf16 activation carrier (each knob accuracy-parity validated on
+the 12-epoch harness; fused_bn also at 60 epochs —
+benchmarks/BENCH_NOTES.md).  Batch 128: the best measured per-chip
+operating point.  Baseline: bf16 fake-quant
 simulation with reference-grade PRNG noise at the same batch, i.e. the
 reference semantics implemented straightforwardly on TPU.
 
@@ -53,7 +54,7 @@ def _measure(cfg):
 def main():
     headline = dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
-        fused_bn=True, range_update_every=8)
+        fused_bn=True, range_update_every=8, act_dtype="bf16")
     baseline = QuantConfig.uniform(8, engine="sim_bf16", noise_mode="prng")
     ips_int8 = _measure(headline)
     ips_sim = _measure(baseline)

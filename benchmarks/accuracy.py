@@ -30,14 +30,15 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         engine: str, noise_mode: str = "prng",
         fused_bn: bool = False, bn_momentum: float = 0.99,
         eval_every: int = 1, conv_act_extra: int = 1,
-        range_update_every: int = 1) -> dict:
+        range_update_every: int = 1, act_dtype: str = "f32") -> dict:
     import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
            else dataclasses.replace(
                QuantConfig.uniform(bits, engine=engine,
                                    noise_mode=noise_mode),
                fused_bn=fused_bn, conv_act_extra=conv_act_extra,
-               range_update_every=range_update_every))
+               range_update_every=range_update_every,
+               act_dtype=act_dtype))
     # short-horizon runs need a faster BN EMA or eval sees stale running
     # stats (the reference's 0.999 is tuned for ~250k updates)
     cfg = dataclasses.replace(cfg, bn_momentum=bn_momentum)
@@ -76,6 +77,7 @@ def main():
     ap.add_argument("--fused_bn", action="store_true")
     ap.add_argument("--conv_act_extra", type=int, default=1)
     ap.add_argument("--range_update_every", type=int, default=1)
+    ap.add_argument("--act_dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--tag", default="")
     ap.add_argument("--bn_momentum", type=float, default=0.99)
     ap.add_argument("--scan_steps", type=int, default=0,
@@ -116,10 +118,11 @@ def main():
         r = run(args.model, bits, tc, data, augment, args.engine,
                 args.noise_mode, args.fused_bn, args.bn_momentum,
                 args.eval_every, args.conv_act_extra,
-                args.range_update_every)
+                args.range_update_every, args.act_dtype)
         r["noise_mode"] = args.noise_mode
         r["range_update_every"] = args.range_update_every
         r["fused_bn"] = args.fused_bn
+        r["act_dtype"] = args.act_dtype
         r["conv_act_extra"] = args.conv_act_extra
         print(f"bits={bits}: final top-1 {r['final']['accuracy']:.4f} "
               f"loss {r['final']['loss']:.4f}", flush=True)

@@ -109,6 +109,25 @@ CONFIGS = {
     "int8-a8-ru8": dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
         fused_bn=True, conv_act_extra=0, range_update_every=8),
+    # bf16 activation carrier: inter-layer tensors (and their backward
+    # cotangents / autodiff residuals) stored at half width; all math f32
+    "int8-fbn-ru8-bf16c": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, range_update_every=8, act_dtype="bf16"),
+    "int8-a8-ru8-bf16c": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8,
+        act_dtype="bf16"),
+    # + BN rematerialization (backward replays BN elementwise work
+    # instead of saving its f32 residuals)
+    "int8-fbn-ru8-bf16c-rm": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, range_update_every=8, act_dtype="bf16",
+        remat_bn=True),
+    "int8-a8-ru8-bf16c-rm": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8,
+        act_dtype="bf16", remat_bn=True),
 }
 
 

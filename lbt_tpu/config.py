@@ -88,6 +88,40 @@ class QuantConfig:
     # stats and live dropout (reference trainer.py:164-165 leaves
     # set_testing commented out).  Default False = proper eval.
     faithful_eval: bool = False
+    # Inter-layer activation carrier dtype: 'f32' (default, the
+    # reference's float32 simulation width) or 'bf16'.  With 'bf16'
+    # every quantized layer upcasts its input to f32 at entry and casts
+    # its output to bfloat16 at exit, so ALL math (quantize, moments,
+    # contractions, controllers) still runs at f32 precision — only the
+    # tensors that cross layer boundaries (and therefore the activations
+    # and cotangents materialized in HBM, the profiled bottleneck at
+    # ImageNet shapes — benchmarks/BENCH_NOTES.md "Where the step time
+    # goes") are stored at half width.  DFXP values on <=9-bit grids are
+    # EXACT in bfloat16 (integer codes of magnitude <= 256 scaled by a
+    # power of two), so the only rounding this introduces is on the
+    # not-yet-requantized boundary tensors (conv outputs, BN outputs,
+    # residual sums) which the next site immediately requantizes to
+    # bits_a anyway.  Divergence from reference f32 carriers; off by
+    # default; accuracy parity validated (benchmarks/accuracy.py).
+    act_dtype: str = "f32"
+    # Rematerialize BatchNorm internals in the backward pass
+    # (jax.checkpoint around each BN layer's apply).  BN's autodiff
+    # residuals are the largest f32 tensors the backward pass reads
+    # (the quantized input and normalized tensor, full activation size);
+    # with remat only the layer's INPUT is saved (half-width under
+    # act_dtype='bf16') and the quantize+normalize — pure VPU work — is
+    # recomputed during backward.  Stochastic rounding replays
+    # identically (site keys are deterministic per step).  Exactness:
+    # bit-identical for the unfused norm+rescale BN; for fused_bn the
+    # remat annotation changes XLA's fusion context enough to flip an
+    # a/sqrt(b) <-> a*rsqrt(b) rewrite (~1e-6 relative on the forward —
+    # the same class of wobble any recompilation can introduce), which
+    # quantized training amplifies into different-but-equivalent
+    # trajectories.  Contrast: whole-residual-block remat measured
+    # 0.99x because it also recomputes convolutions
+    # (benchmarks/remat_probe.py); BN-only remat skips nothing but
+    # elementwise work.  Off by default.
+    remat_bn: bool = False
     # Run the range controllers every K-th step instead of every step
     # (reference runs them per step, trainer.py:157).  The overflow
     # reductions behind the controllers are a large share of step device
@@ -117,11 +151,19 @@ class QuantConfig:
             raise ValueError(f"unknown noise_mode {self.noise_mode!r}")
         if self.range_update_every < 1:
             raise ValueError("range_update_every must be >= 1")
+        if self.act_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown act_dtype {self.act_dtype!r}")
 
     @property
     def bits_a_conv(self) -> int:
         b = self.bits_a + self.conv_act_extra
         return min(b, 32)
+
+    @property
+    def carrier_dtype(self):
+        """jnp dtype of inter-layer activation tensors (see act_dtype)."""
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.act_dtype == "bf16" else jnp.float32
 
     @property
     def resolved_noise_bits(self) -> int:

@@ -76,7 +76,9 @@ def _barrier_bwd(bits, stochastic, noise_shared_axis0, noise_bits, backend,
         noise_bits=noise_bits, backend=backend,
     )
     key_cot = None if keydata is None else _float0(keydata)
-    return (gq, _float0(exp), key_cot, stats)
+    # cotangent dtype must match the forward input's (bf16 carriers):
+    # on-grid values with <=9-bit codes are exact in bfloat16
+    return (gq.astype(g.dtype), _float0(exp), key_cot, stats)
 
 
 _barrier.defvjp(_barrier_fwd, _barrier_bwd)

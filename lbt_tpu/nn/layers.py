@@ -84,6 +84,9 @@ class Dense(Layer):
 
     def apply(self, params, qstate, sinks, x, ctx):
         cfg = self.cfg
+        # carrier boundary: internal math at f32, output at cfg.act_dtype
+        # (exact no-op when act_dtype == 'f32')
+        x = x.astype(jnp.float32)
         exp = qstate["exp"]
         new_exp = dict(exp)
         if "x" in exp:
@@ -120,6 +123,7 @@ class Dense(Layer):
                 target_overflow_rate=cfg.target_overflow_rate,
                 gate=ctx.update_gate, **kw,
             )
+        y = y.astype(cfg.carrier_dtype)
         return y, {"exp": new_exp, "state": qstate["state"]}
 
     def absorb_sinks(self, qstate, sink_cots):
@@ -176,6 +180,8 @@ class Conv2d(Layer):
 
     def apply(self, params, qstate, sinks, x, ctx):
         cfg = self.cfg
+        # carrier boundary (see Dense.apply)
+        x = x.astype(jnp.float32)
         bits_x = cfg.bits_a_conv
         exp = qstate["exp"]
         new_exp = dict(exp)
@@ -214,6 +220,7 @@ class Conv2d(Layer):
                 target_overflow_rate=cfg.target_overflow_rate,
                 gate=ctx.update_gate, **kw,
             )
+        y = y.astype(cfg.carrier_dtype)
         return y, {"exp": new_exp, "state": qstate["state"]}
 
     def absorb_sinks(self, qstate, sink_cots):
@@ -274,17 +281,19 @@ class AvgPool(Layer):
     def apply(self, params, qstate, sinks, x, ctx):
         dims = (1,) + self.ksize + (1,)
         strides = (1,) + self.strides + (1,)
+        # accumulate window sums at f32 (a bf16 carrier would otherwise
+        # accumulate in bf16); output back at the carrier dtype
         total = lax.reduce_window(
-            x, 0.0, lax.add, dims, strides, self.padding
+            x.astype(jnp.float32), 0.0, lax.add, dims, strides, self.padding
         )
         if self.padding == "VALID":
             count = float(np.prod(self.ksize))
         else:
-            ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+            ones = jnp.ones(x.shape[1:3], jnp.float32)[None, :, :, None]
             count = lax.reduce_window(
                 ones, 0.0, lax.add, dims, strides, self.padding
             )
-        return total / count, qstate
+        return (total / count).astype(x.dtype), qstate
 
     def info(self):
         return f"avgpool {self.ksize} stride {self.strides} {self.padding}"
@@ -360,8 +369,9 @@ def _gradbuf_bwd(bits, stochastic, shared, backend, target, run_stats,
                   stochastic=stochastic, noise_shared_axis0=shared,
                   backend=backend)
     new_buffer = total - gq
-    return (gq, _float0(exp), _float0(keydata), jnp.zeros_like(buffer),
-            stats, new_buffer)
+    # cotangent dtype must match the forward input's (bf16 carriers)
+    return (gq.astype(g.dtype), _float0(exp), _float0(keydata),
+            jnp.zeros_like(buffer), stats, new_buffer)
 
 
 _gradbuf.defvjp(_gradbuf_fwd, _gradbuf_bwd)

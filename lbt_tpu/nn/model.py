@@ -49,6 +49,7 @@ class Model:
 
     def loss_and_acc(self, logits: jax.Array, labels: jax.Array):
         """(mean softmax CE, top-1 accuracy)."""
+        logits = logits.astype(jnp.float32)  # f32 head under bf16 carriers
         logz = jax.nn.logsumexp(logits, axis=-1)
         ll = jnp.take_along_axis(
             logits, labels[:, None].astype(jnp.int32), axis=-1

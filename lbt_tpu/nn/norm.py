@@ -16,6 +16,28 @@ _SITE_X, _SITE_GAMMA, _SITE_BETA, _SITE_G = range(4)
 _E0 = 0  # plain int: importing the package must not init the JAX backend
 
 
+def _maybe_remat_apply(layer, impl, params, qstate, sinks, x, ctx):
+    """Run ``impl`` under jax.checkpoint when cfg.remat_bn is set.
+
+    BN autodiff residuals (quantized input, normalized tensor — full
+    activation size, f32) dominate backward-pass HBM reads; with remat
+    only the layer input is saved and the elementwise forward is
+    replayed during backward (PRNG site keys are deterministic, so the
+    replay draws identical rounding noise; see QuantConfig.remat_bn for
+    the fused-BN rsqrt-rewrite caveat).  Only active in training (eval
+    has no backward).
+    """
+    import dataclasses as _dc
+    cfg = layer.cfg
+    if not (cfg.remat_bn and ctx.train):
+        return impl(params, qstate, sinks, x, ctx)
+
+    def fn(p, q, s, x_, key):
+        return impl(p, q, s, x_, _dc.replace(ctx, key=key))
+
+    return jax.checkpoint(fn)(params, qstate, sinks, x, ctx.key)
+
+
 class Normalization(Layer):
     """BN statistics half (reference dynamic_fixed_point.py:539-623).
 
@@ -55,7 +77,13 @@ class Normalization(Layer):
         return {"grad": (2,)} if self.cfg.bits_g < 32 else {}
 
     def apply(self, params, qstate, sinks, x, ctx):
+        return _maybe_remat_apply(
+            self, self._apply_impl, params, qstate, sinks, x, ctx)
+
+    def _apply_impl(self, params, qstate, sinks, x, ctx):
         cfg = self.cfg
+        # carrier boundary: internal math at f32, output at cfg.act_dtype
+        x = x.astype(jnp.float32)
         exp = qstate["exp"]
         state = qstate["state"]
         new_exp = dict(exp)
@@ -108,6 +136,7 @@ class Normalization(Layer):
                 target_overflow_rate=cfg.target_overflow_rate,
                 gate=ctx.update_gate, **kw,
             )
+        y = y.astype(cfg.carrier_dtype)
         return y, {"exp": new_exp, "state": new_state}
 
     def absorb_sinks(self, qstate, sink_cots):
@@ -151,7 +180,13 @@ class Rescale(Layer):
         return {"gamma": self.weight_decay, "beta": 0.0}
 
     def apply(self, params, qstate, sinks, x, ctx):
+        return _maybe_remat_apply(
+            self, self._apply_impl, params, qstate, sinks, x, ctx)
+
+    def _apply_impl(self, params, qstate, sinks, x, ctx):
         cfg = self.cfg
+        # carrier boundary: internal math at f32, output at cfg.act_dtype
+        x = x.astype(jnp.float32)
         exp = qstate["exp"]
         new_exp = dict(exp)
         # no PRNG key (serving) -> deterministic round-to-nearest
@@ -189,6 +224,7 @@ class Rescale(Layer):
                 target_overflow_rate=cfg.target_overflow_rate,
                 gate=ctx.update_gate, **kw,
             )
+        y = y.astype(cfg.carrier_dtype)
         return y, {"exp": new_exp, "state": qstate["state"]}
 
     def absorb_sinks(self, qstate, sink_cots):
@@ -248,7 +284,13 @@ class FusedBatchNorm(Layer):
         return {"gamma": self.weight_decay, "beta": 0.0}
 
     def apply(self, params, qstate, sinks, x, ctx):
+        return _maybe_remat_apply(
+            self, self._apply_impl, params, qstate, sinks, x, ctx)
+
+    def _apply_impl(self, params, qstate, sinks, x, ctx):
         cfg = self.cfg
+        # carrier boundary: internal math at f32, output at cfg.act_dtype
+        x = x.astype(jnp.float32)
         exp = qstate["exp"]
         state = qstate["state"]
         new_exp = dict(exp)
@@ -312,6 +354,7 @@ class FusedBatchNorm(Layer):
                 target_overflow_rate=cfg.target_overflow_rate,
                 gate=ctx.update_gate, **kw,
             )
+        y = y.astype(cfg.carrier_dtype)
         return y, {"exp": new_exp, "state": new_state}
 
     def absorb_sinks(self, qstate, sink_cots):

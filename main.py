@@ -54,6 +54,12 @@ def parse_args():
                    help="lean fused BatchNorm: one input quantization + "
                         "one cotangent barrier (divergence from "
                         "reference's norm+rescale double quantization)")
+    p.add_argument("--act_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="inter-layer activation carrier dtype; 'bf16' "
+                        "halves activation/cotangent HBM traffic (math "
+                        "stays f32; <=9-bit DFXP grids are exact in "
+                        "bf16 — see QuantConfig.act_dtype)")
     p.add_argument("--range_update_every", type=int, default=1,
                    help="run the DFXP range controllers every K-th step "
                         "(1 = reference cadence; larger K skips most of "
@@ -160,6 +166,7 @@ def main():
             bn_momentum=args.bn_momentum,
             faithful_eval=args.faithful_eval,
             range_update_every=args.range_update_every,
+            act_dtype=args.act_dtype,
         )
     tc = TrainConfig(
         lr=args.lr, momentum=args.momentum,
