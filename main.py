@@ -94,6 +94,16 @@ def parse_args():
                         "<dir>/val/...) instead of the packaged/"
                         "synthetic arrays — decode + RandomResizedCrop/"
                         "flip on host threads (data/imagefolder.py)")
+    p.add_argument("--tfrecord_train", type=str, default=None,
+                   help="stream training data from TFRecord shards "
+                        "(glob pattern) through the native C++ pipeline "
+                        "(record framing -> tf.Example parse -> libjpeg "
+                        "decode -> augment; data/tfrecord.py); requires "
+                        "--num_classes")
+    p.add_argument("--tfrecord_val", type=str, default=None,
+                   help="TFRecord shards (glob) for evaluation")
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="label count for --tfrecord_train data")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--resume", action="store_true")
@@ -195,7 +205,19 @@ def main():
         model_kw["gradient_buffer_batch"] = args.batch_size
     model = build_model(args.model, cfg, **model_kw)
     ds_name = MODEL_DATASET[args.model]
-    if args.data_dir:
+    if args.tfrecord_train:
+        from lbt_tpu.data.tfrecord import tfrecord_dataset
+        if args.num_classes is None:
+            raise SystemExit("--tfrecord_train requires --num_classes")
+        data = tfrecord_dataset(
+            args.tfrecord_train, args.tfrecord_val,
+            image_size=model.input_shape[0], seed=args.seed,
+            num_classes=args.num_classes)
+        augment = None  # the native source augments on the host
+        if args.native_loader:
+            raise SystemExit("--native_loader needs in-memory arrays; "
+                             "drop it when streaming TFRecords")
+    elif args.data_dir:
         from lbt_tpu.data.imagefolder import streaming_dataset
         image_size = model.input_shape[0]
         val = os.path.join(args.data_dir, "val")
