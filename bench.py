@@ -9,11 +9,11 @@ controllers + SGD) and prints ONE JSON line:
     {"metric": ..., "value": images/sec/chip (int8 engine),
      "unit": "images/sec/chip", "vs_baseline": int8_ips / bf16sim_ips}
 
-Headline config: integer-code engine, fused counter-hash stochastic
-rounding, lean fused BatchNorm, controller cadence 8 with per-step
-warmup, bf16 activation carrier (each knob accuracy-parity validated on
-the 12-epoch harness; fused_bn also at 60 epochs —
-benchmarks/BENCH_NOTES.md).  Batch 128: the best measured per-chip
+Headline config: integer-code engine, single-round counter-hash
+stochastic rounding ('hash1'), lean fused BatchNorm, controller cadence
+8 with per-step warmup, bf16 activation carrier (each knob
+accuracy-parity validated on the 12-epoch harness; fused_bn also at 60
+epochs — benchmarks/BENCH_NOTES.md).  Batch 128: the best measured per-chip
 operating point.  Baseline: bf16 fake-quant
 simulation with reference-grade PRNG noise at the same batch, i.e. the
 reference semantics implemented straightforwardly on TPU.
@@ -42,7 +42,7 @@ _spec.loader.exec_module(_ib)  # sets jax compilation-cache config
 from lbt_tpu.config import QuantConfig  # noqa: E402
 
 BATCH = 128
-UNROLL = 4
+UNROLL = 8
 
 
 def _measure(cfg):
@@ -53,7 +53,7 @@ def _measure(cfg):
 
 def main():
     headline = dataclasses.replace(
-        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash1"),
         fused_bn=True, range_update_every=8, act_dtype="bf16")
     baseline = QuantConfig.uniform(8, engine="sim_bf16", noise_mode="prng")
     ips_int8 = _measure(headline)

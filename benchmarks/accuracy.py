@@ -30,7 +30,9 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         engine: str, noise_mode: str = "prng",
         fused_bn: bool = False, bn_momentum: float = 0.99,
         eval_every: int = 1, conv_act_extra: int = 1,
-        range_update_every: int = 1, act_dtype: str = "f32") -> dict:
+        range_update_every: int = 1, act_dtype: str = "f32",
+        noise_shared_axis0: bool = False,
+        bn_residual_q16: bool = False) -> dict:
     import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
            else dataclasses.replace(
@@ -38,7 +40,9 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
                                    noise_mode=noise_mode),
                fused_bn=fused_bn, conv_act_extra=conv_act_extra,
                range_update_every=range_update_every,
-               act_dtype=act_dtype))
+               act_dtype=act_dtype,
+               noise_shared_axis0=noise_shared_axis0,
+               bn_residual_q16=bn_residual_q16))
     # short-horizon runs need a faster BN EMA or eval sees stale running
     # stats (the reference's 0.999 is tuned for ~250k updates)
     cfg = dataclasses.replace(cfg, bn_momentum=bn_momentum)
@@ -78,6 +82,13 @@ def main():
     ap.add_argument("--conv_act_extra", type=int, default=1)
     ap.add_argument("--range_update_every", type=int, default=1)
     ap.add_argument("--act_dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--noise_shared_axis0", action="store_true",
+                    help="reference-faithful shared rounding noise "
+                         "(noise shape X.shape[1:], reference "
+                         "dynamic_fixed_point.py:36)")
+    ap.add_argument("--bn_residual_q16", action="store_true",
+                    help="bf16 quantized-input BN residuals "
+                         "(QuantConfig.bn_residual_q16)")
     ap.add_argument("--tag", default="")
     ap.add_argument("--bn_momentum", type=float, default=0.99)
     ap.add_argument("--scan_steps", type=int, default=0,
@@ -118,12 +129,15 @@ def main():
         r = run(args.model, bits, tc, data, augment, args.engine,
                 args.noise_mode, args.fused_bn, args.bn_momentum,
                 args.eval_every, args.conv_act_extra,
-                args.range_update_every, args.act_dtype)
+                args.range_update_every, args.act_dtype,
+                args.noise_shared_axis0, args.bn_residual_q16)
         r["noise_mode"] = args.noise_mode
         r["range_update_every"] = args.range_update_every
         r["fused_bn"] = args.fused_bn
         r["act_dtype"] = args.act_dtype
         r["conv_act_extra"] = args.conv_act_extra
+        r["noise_shared_axis0"] = args.noise_shared_axis0
+        r["bn_residual_q16"] = args.bn_residual_q16
         print(f"bits={bits}: final top-1 {r['final']['accuracy']:.4f} "
               f"loss {r['final']['loss']:.4f}", flush=True)
         results["runs"].append(r)

@@ -128,6 +128,47 @@ CONFIGS = {
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
         fused_bn=True, conv_act_extra=0, range_update_every=8,
         act_dtype="bf16", remat_bn=True),
+    # + bn_residual_q16: BN backward residual = quantized input at bf16
+    # + batch moments (save_only_these_names policy); backward replays
+    # only the elementwise normalize/affine
+    "int8-fbn-ru8-bf16c-q16": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, range_update_every=8, act_dtype="bf16",
+        bn_residual_q16=True),
+    "int8-a8-ru8-bf16c-q16": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8,
+        act_dtype="bf16", bn_residual_q16=True),
+    # + reference-faithful shared rounding noise: one noise sample per
+    # trailing-shape element broadcast over axis 0 (the reference draws
+    # noise of shape X.shape[1:], dynamic_fixed_point.py:36) — batch-size
+    # fewer hash evaluations per activation site
+    "int8-fbn-ru8-bf16c-shn": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, range_update_every=8, act_dtype="bf16",
+        noise_shared_axis0=True),
+    "int8-a8-ru8-bf16c-shn": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8,
+        act_dtype="bf16", noise_shared_axis0=True),
+    # single-round multiply-xorshift rounding noise (noise_mode='hash1'):
+    # ~5 VPU ops/word vs lowbias32's ~10, per-element and unbiased
+    "int8-fbn-ru8-bf16c-h1": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash1"),
+        fused_bn=True, range_update_every=8, act_dtype="bf16"),
+    "int8-a8-ru8-bf16c-h1": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash1"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8,
+        act_dtype="bf16"),
+    # shared noise + q16 BN residuals combined (headline candidates)
+    "int8-fbn-ru8-bf16c-shn-q16": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, range_update_every=8, act_dtype="bf16",
+        noise_shared_axis0=True, bn_residual_q16=True),
+    "int8-a8-ru8-bf16c-shn-q16": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8,
+        act_dtype="bf16", noise_shared_axis0=True, bn_residual_q16=True),
 }
 
 

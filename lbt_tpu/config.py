@@ -56,7 +56,11 @@ class QuantConfig:
     # noise_impl, the reference-grade stream); 'hash' = cheap full-
     # avalanche counter hash fused into the quantize by XLA (~10 VPU
     # ops/word vs threefry's ~tens — the fast path; equally uniform,
-    # bit-reproducible across backends, different stream than 'prng').
+    # bit-reproducible across backends, different stream than 'prng');
+    # 'hash1' = single-round multiply-xorshift hash (~5 VPU ops/word —
+    # the fastest; exactly uniform marginally via counter bijection,
+    # weaker cross-element avalanche; accuracy-parity validated,
+    # benchmarks/BENCH_NOTES.md).
     noise_mode: str = "prng"
     # Compute engine for quantized matmul/conv:
     #   'sim'  - float fake-quant (quantize->dequantize around float op),
@@ -122,6 +126,21 @@ class QuantConfig:
     # (benchmarks/remat_probe.py); BN-only remat skips nothing but
     # elementwise work.  Off by default.
     remat_bn: bool = False
+    # Store BN's backward residual as the QUANTIZED input at bf16 width
+    # (exact for <=9-bit grids) plus the batch moments, via a
+    # jax.checkpoint save_only_these_names policy around each BN layer.
+    # Plain autodiff saves full-activation f32 residuals for the
+    # normalize/affine chain — the largest remaining f32 HBM tensors
+    # after the bf16 carrier; full remat_bn instead recomputes the batch
+    # moments in backward, which measured slower than the traffic it
+    # saved (benchmarks/BENCH_NOTES.md).  This middle road saves the
+    # small exact tensors and replays ONLY the elementwise
+    # normalize/affine (no moment reductions, no quantize replay — the
+    # saved tensor is post-quantizer).  Math is unchanged (the bf16
+    # round-trip is exact on-grid); like any remat annotation it can
+    # shift XLA fusion contexts (~1e-6 rewrite wobble, see remat_bn).
+    # Off by default.
+    bn_residual_q16: bool = False
     # Run the range controllers every K-th step instead of every step
     # (reference runs them per step, trainer.py:157).  The overflow
     # reductions behind the controllers are a large share of step device
@@ -147,7 +166,7 @@ class QuantConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.noise_impl not in ("threefry2x32", "unsafe_rbg"):
             raise ValueError(f"unknown noise_impl {self.noise_impl!r}")
-        if self.noise_mode not in ("prng", "hash"):
+        if self.noise_mode not in ("prng", "hash", "hash1"):
             raise ValueError(f"unknown noise_mode {self.noise_mode!r}")
         if self.range_update_every < 1:
             raise ValueError("range_update_every must be >= 1")
@@ -174,7 +193,8 @@ class QuantConfig:
         """Backend string for the quantize sites (see quantize_int)."""
         if self.engine == "pallas":
             return "pallas"
-        return "xla_hash" if self.noise_mode == "hash" else "xla"
+        return {"hash": "xla_hash", "hash1": "xla_hash1",
+                "prng": "xla"}[self.noise_mode]
 
     @classmethod
     def fp32(cls) -> "QuantConfig":

@@ -60,7 +60,7 @@ def wrap_key(data: jax.Array) -> jax.Array:
     return jax.random.wrap_key_data(data, impl=impl)
 
 
-def _hash_uniform(key: jax.Array, shape) -> jax.Array:
+def _hash_uniform(key: jax.Array, shape, light: bool = False) -> jax.Array:
     """Uniform [0,1) noise from a cheap counter hash (~10 VPU ops/word).
 
     Stochastic-rounding noise needs uniformity and decorrelation from the
@@ -71,6 +71,14 @@ def _hash_uniform(key: jax.Array, shape) -> jax.Array:
     finalizer.  Pure XLA ops: fuses into the surrounding quantize (no
     Pallas fusion break, no HBM round trip) and is bit-reproducible
     across CPU/TPU backends.
+
+    ``light=True`` (noise_mode='hash1'): a single multiply-xorshift
+    round (~5 VPU ops/word).  Still an exact bijection of the counter —
+    the marginal distribution is perfectly uniform — but with weaker
+    avalanche, i.e. more cross-element structure than lowbias32.
+    Per-element and per-step independence of the *seed* is unchanged
+    (fresh fold_in key per site per step), and accuracy parity is
+    validated on the 12-epoch harness (benchmarks/BENCH_NOTES.md).
     """
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = kd[..., 0] + kd[..., -1] * jnp.uint32(0x9E3779B9)
@@ -78,18 +86,25 @@ def _hash_uniform(key: jax.Array, shape) -> jax.Array:
     for d in shape:
         n *= d
     x = jax.lax.iota(jnp.uint32, max(n, 1)) ^ seed
-    # lowbias32 finalizer (avalanche-optimized xorshift-multiply)
-    x ^= x >> 16
-    x *= jnp.uint32(0x7FEB352D)
-    x ^= x >> 15
-    x *= jnp.uint32(0x846CA68B)
-    x ^= x >> 16
+    if light:
+        # one multiply-xorshift round; seed re-mixed into the low bits
+        x *= jnp.uint32(0x7FEB352D)
+        x ^= x >> 15
+        x *= jnp.uint32(0x846CA68B)
+    else:
+        # lowbias32 finalizer (avalanche-optimized xorshift-multiply)
+        x ^= x >> 16
+        x *= jnp.uint32(0x7FEB352D)
+        x ^= x >> 15
+        x *= jnp.uint32(0x846CA68B)
+        x ^= x >> 16
     u = (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
     return u[:n].reshape(shape)
 
 
 def _noise(key: jax.Array, shape, shared_axis0: bool,
-           noise_bits: int = 24, fast: bool = False) -> jax.Array:
+           noise_bits: int = 24, fast: bool = False,
+           light: bool = False) -> jax.Array:
     """Uniform [0,1) rounding noise.
 
     ``noise_bits=24``: float32-grade noise via jax.random.uniform (the
@@ -99,13 +114,14 @@ def _noise(key: jax.Array, shape, shared_axis0: bool,
     probability bias by 2^-9 of one quantization step — negligible
     against the quantizer's own 8-bit resolution, and a large win since
     noise generation dominates stochastic DFXP step time.
-    ``fast=True``: counter-hash noise (see :func:`_hash_uniform`).
+    ``fast=True``: counter-hash noise (see :func:`_hash_uniform`);
+    ``light=True`` selects its cheaper single-round variant.
     """
     if shared_axis0 and len(shape) >= 1:
-        u = _noise(key, tuple(shape[1:]), False, noise_bits, fast)
+        u = _noise(key, tuple(shape[1:]), False, noise_bits, fast, light)
         return jnp.broadcast_to(u, shape)
     if fast:
-        return _hash_uniform(key, shape)
+        return _hash_uniform(key, shape, light)
     if noise_bits >= 16:
         return jax.random.uniform(key, shape, jnp.float32)
     n = 1
@@ -160,7 +176,8 @@ def quantize_int(
     rounding — with a different (but equally uniform) noise stream than
     the XLA threefry path.  ``backend='xla_hash'`` keeps the pure-XLA
     (fully fused) quantize but draws rounding noise from the cheap
-    counter hash instead of threefry — the fast path.
+    counter hash instead of threefry — the fast path;
+    ``backend='xla_hash1'`` uses the still-cheaper single-round hash.
     """
     assert bits < 32, "quantize_int is only meaningful for bits < 32"
     if (backend == "pallas" and not noise_shared_axis0
@@ -184,7 +201,9 @@ def quantize_int(
         if key is None:
             raise ValueError("stochastic quantization requires a PRNG key")
         scaled = scaled + _noise(key, x.shape, noise_shared_axis0,
-                                 noise_bits, fast=(backend == "xla_hash"))
+                                 noise_bits,
+                                 fast=backend in ("xla_hash", "xla_hash1"),
+                                 light=(backend == "xla_hash1"))
         codes = jnp.floor(jnp.clip(scaled, -limit, limit - 1))
     else:
         codes = jnp.round(jnp.clip(scaled, -limit, limit - 1))

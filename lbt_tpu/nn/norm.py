@@ -15,27 +15,72 @@ from lbt_tpu.nn.core import Layer, Sequential
 _SITE_X, _SITE_GAMMA, _SITE_BETA, _SITE_G = range(4)
 _E0 = 0  # plain int: importing the package must not init the JAX backend
 
+# checkpoint_name tags for the bn_residual_q16 policy (QuantConfig)
+_XQ_NAME = "bn_xq"
+_STATS_NAME = "bn_stats"
+
 
 def _maybe_remat_apply(layer, impl, params, qstate, sinks, x, ctx):
-    """Run ``impl`` under jax.checkpoint when cfg.remat_bn is set.
+    """Run ``impl`` under jax.checkpoint per cfg.remat_bn / bn_residual_q16.
 
-    BN autodiff residuals (quantized input, normalized tensor — full
-    activation size, f32) dominate backward-pass HBM reads; with remat
-    only the layer input is saved and the elementwise forward is
-    replayed during backward (PRNG site keys are deterministic, so the
-    replay draws identical rounding noise; see QuantConfig.remat_bn for
-    the fused-BN rsqrt-rewrite caveat).  Only active in training (eval
-    has no backward).
+    ``remat_bn``: full recompute — only the layer input is saved and the
+    whole elementwise forward (quantize, moments, normalize) is replayed
+    during backward (PRNG site keys are deterministic, so the replay
+    draws identical rounding noise).  A *memory* knob: the replayed
+    moment reductions measured slower than the residual traffic they
+    save (benchmarks/BENCH_NOTES.md).
+
+    ``bn_residual_q16``: selective save — a save_only_these_names policy
+    keeps the post-quantizer input (stored bf16, exact on <=9-bit grids)
+    and the batch moments; backward replays only the elementwise
+    normalize/affine from those.  No moment reductions and no quantize
+    re-run in the replay, while the saved residual shrinks from the f32
+    normalize chain to one bf16 tensor — a *speed* knob for
+    HBM-bandwidth-bound steps.
+
+    Only active in training (eval has no backward).  See
+    QuantConfig.remat_bn for the fused-BN rsqrt-rewrite caveat shared by
+    any remat annotation.
     """
     import dataclasses as _dc
     cfg = layer.cfg
-    if not (cfg.remat_bn and ctx.train):
+    if not ((cfg.remat_bn or cfg.bn_residual_q16) and ctx.train):
         return impl(params, qstate, sinks, x, ctx)
 
     def fn(p, q, s, x_, key):
         return impl(p, q, s, x_, _dc.replace(ctx, key=key))
 
-    return jax.checkpoint(fn)(params, qstate, sinks, x, ctx.key)
+    if cfg.bn_residual_q16 and not cfg.remat_bn:
+        fn = jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(
+                _XQ_NAME, _STATS_NAME))
+    else:
+        fn = jax.checkpoint(fn)
+    return fn(params, qstate, sinks, x, ctx.key)
+
+
+def _tag_xq(cfg, xq, bits):
+    """Tag the quantized BN input for the bn_residual_q16 save policy.
+
+    Cast to bf16 for storage when the grid is exact there (<=9 bits);
+    downstream math always reads the f32 upcast, so numerics are
+    unchanged.  No-op (identity) when the knob is off.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+    if not cfg.bn_residual_q16:
+        return xq
+    if bits <= 9:
+        xq = xq.astype(jnp.bfloat16)
+    return checkpoint_name(xq, _XQ_NAME).astype(jnp.float32)
+
+
+def _tag_stats(cfg, mean, var):
+    """Tag batch moments as saved residuals for bn_residual_q16."""
+    from jax.ad_checkpoint import checkpoint_name
+    if not cfg.bn_residual_q16:
+        return mean, var
+    return (checkpoint_name(mean, _STATS_NAME),
+            checkpoint_name(var, _STATS_NAME))
 
 
 class Normalization(Layer):
@@ -99,6 +144,7 @@ class Normalization(Layer):
             x, cfg.bits_a, exp.get("x", _E0),
             ctx.layer_key(self.uid, _SITE_X), **kw,
         )
+        xq = _tag_xq(cfg, xq, cfg.bits_a)
 
         axes = tuple(range(x.ndim - 1))
 
@@ -110,7 +156,7 @@ class Normalization(Layer):
             if ctx.psum_axis is not None:
                 mean = jax.lax.pmean(mean, ctx.psum_axis)
                 m2 = jax.lax.pmean(m2, ctx.psum_axis)
-            return mean, m2 - jnp.square(mean)
+            return _tag_stats(cfg, mean, m2 - jnp.square(mean))
 
         if ctx.train:
             mean, var = batch_moments()
@@ -207,6 +253,7 @@ class Rescale(Layer):
             x, cfg.bits_a, exp.get("x", _E0),
             ctx.layer_key(self.uid, _SITE_X), **kw,
         )
+        xq = _tag_xq(cfg, xq, cfg.bits_a)
         gq = quantize_ste(
             params["gamma"], cfg.bits_b, exp.get("gamma", _E0),
             ctx.layer_key(self.uid, _SITE_GAMMA), **kw,
@@ -311,6 +358,7 @@ class FusedBatchNorm(Layer):
             x, cfg.bits_a, exp.get("x", _E0),
             ctx.layer_key(self.uid, _SITE_X), **kw,
         )
+        xq = _tag_xq(cfg, xq, cfg.bits_a)
         gq = quantize_ste(
             params["gamma"], cfg.bits_b, exp.get("gamma", _E0),
             ctx.layer_key(self.uid, _SITE_GAMMA), **kw,
@@ -328,7 +376,7 @@ class FusedBatchNorm(Layer):
             if ctx.psum_axis is not None:
                 mean = jax.lax.pmean(mean, ctx.psum_axis)
                 m2 = jax.lax.pmean(m2, ctx.psum_axis)
-            return mean, m2 - jnp.square(mean)
+            return _tag_stats(cfg, mean, m2 - jnp.square(mean))
 
         if ctx.train:
             mean, var = batch_moments()

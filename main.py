@@ -41,10 +41,12 @@ def parse_args():
     p.add_argument("--deterministic_rounding", action="store_true",
                    help="round-to-nearest-even instead of stochastic")
     p.add_argument("--noise_mode", type=str, default="prng",
-                   choices=["prng", "hash"],
+                   choices=["prng", "hash", "hash1"],
                    help="stochastic-rounding noise source: jax.random "
-                        "threefry ('prng') or the fused counter hash "
-                        "('hash', ~2x faster; benchmarks/BENCH_NOTES.md)")
+                        "threefry ('prng'), the fused counter hash "
+                        "('hash', ~2x faster), or the single-round "
+                        "hash ('hash1', fastest; "
+                        "benchmarks/BENCH_NOTES.md)")
     p.add_argument("--conv_act_extra", type=int, default=1,
                    help="extra bits for conv activations over --bits_a "
                         "(reference quantizes conv acts at bits+1, "
@@ -60,6 +62,15 @@ def parse_args():
                         "halves activation/cotangent HBM traffic (math "
                         "stays f32; <=9-bit DFXP grids are exact in "
                         "bf16 — see QuantConfig.act_dtype)")
+    p.add_argument("--bn_residual_q16", action="store_true",
+                   help="store BN backward residuals as the quantized "
+                        "input at bf16 + batch moments (replay only the "
+                        "elementwise normalize in backward); cuts "
+                        "backward HBM traffic, math unchanged")
+    p.add_argument("--remat_bn", action="store_true",
+                   help="fully rematerialize BN in backward (memory "
+                        "knob; recomputes batch moments — slower than "
+                        "bn_residual_q16, see BENCH_NOTES)")
     p.add_argument("--range_update_every", type=int, default=1,
                    help="run the DFXP range controllers every K-th step "
                         "(1 = reference cadence; larger K skips most of "
@@ -177,6 +188,8 @@ def main():
             faithful_eval=args.faithful_eval,
             range_update_every=args.range_update_every,
             act_dtype=args.act_dtype,
+            remat_bn=args.remat_bn,
+            bn_residual_q16=args.bn_residual_q16,
         )
     tc = TrainConfig(
         lr=args.lr, momentum=args.momentum,

@@ -152,6 +152,69 @@ def test_remat_bn_trains():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.parametrize("fused_bn", [False, True])
+def test_bn_residual_q16_equivalent(fused_bn):
+    # The save_only_these_names policy (bn_residual_q16) must not change
+    # semantics: the saved bf16 copy of the quantized input is exact
+    # (<=9-bit grid) and the backward replay is the same elementwise
+    # math.  Same caveat as remat_bn on bitwise equality (remat
+    # annotations can shift XLA algebraic-rewrite contexts), so assert
+    # tight loss agreement and near-universal gradient agreement.
+    from lbt_tpu.nn import core
+    from lbt_tpu.nn.core import Ctx, finalize
+    from lbt_tpu.nn.norm import BatchNorm
+
+    outs = {}
+    for q16 in (False, True):
+        cfg = dataclasses.replace(
+            QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+            fused_bn=fused_bn, bn_residual_q16=q16)
+        layer = finalize(BatchNorm("bn", cfg, 16))
+        params, qstate = layer.init(jax.random.key(0))
+        sinks = core.make_sinks(layer)
+        x = jax.random.normal(jax.random.key(1), (4, 8, 8, 16))
+
+        def f(params, sinks, x):
+            y, _ = layer.apply(params, qstate, sinks, x,
+                               Ctx(train=True, key=jax.random.key(3)))
+            return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+        loss, grads = jax.jit(
+            jax.value_and_grad(f, argnums=(0, 1, 2)))(params, sinks, x)
+        outs[q16] = (loss, grads)
+    l0, g0 = outs[False]
+    l1, g1 = outs[True]
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.mean(np.abs(a)) + 1e-12
+        assert np.mean(np.abs(a - b)) / denom < 0.05, (a.shape, denom)
+
+
+def test_bn_residual_q16_trains():
+    cfg = dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        act_dtype="bf16", fused_bn=True, bn_residual_q16=True,
+        bn_momentum=0.9)
+    model = build_model("CIFAR10_Resnet20", cfg)
+    tc = TrainConfig(batch_size=16)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    step = make_train_step(model, tc)
+    x = jax.random.normal(jax.random.key(1), (16, 32, 32, 3), jnp.float32)
+    y = jax.random.randint(jax.random.key(2), (16,), 0, 10)
+    losses = []
+    for i in range(12):
+        params, qstate, vel, m = step(
+            params, qstate, vel, x, y, jnp.int32(i), jnp.float32(0.05),
+            jax.random.key(3))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
 def test_bf16_carrier_eval_matches_itself():
     # eval is deterministic (round-to-nearest) under the carrier
     cfg = dataclasses.replace(

@@ -189,9 +189,10 @@ def test_controller_target_rate():
 # ---------------------------------------------------------------------------
 
 
-def test_hash_noise_uniformity():
+@pytest.mark.parametrize("light", [False, True])
+def test_hash_noise_uniformity(light):
     from lbt_tpu.dfxp.quantize import _hash_uniform
-    u = np.asarray(_hash_uniform(jax.random.key(3), (1 << 16,)))
+    u = np.asarray(_hash_uniform(jax.random.key(3), (1 << 16,), light))
     assert u.min() >= 0.0 and u.max() < 1.0
     np.testing.assert_allclose(u.mean(), 0.5, atol=5e-3)
     np.testing.assert_allclose(u.var(), 1.0 / 12.0, atol=5e-3)
@@ -204,6 +205,20 @@ def test_hash_noise_uniformity():
     expected = u.size / 256
     chi2 = ((counts - expected) ** 2 / expected).sum()
     assert chi2 < 400, chi2  # dof=255, p~1e-8 cutoff
+
+
+def test_hash1_stochastic_rounding_unbiased():
+    # the single-round hash (noise_mode='hash1') must stay unbiased:
+    # E_key[q(x)] -> x for values strictly inside the grid
+    x = np.linspace(-1.9, 1.9, 257).astype(np.float32)
+    acc = np.zeros_like(x, np.float64)
+    n = 200
+    for i in range(n):
+        acc += np.asarray(quantize(
+            x, 8, jnp.int32(2), jax.random.key(i), stochastic=True,
+            backend="xla_hash1"))
+    step = 2.0 ** -(8 - 1 - 2)
+    np.testing.assert_allclose(acc / n, x, atol=0.3 * step)
 
 
 def test_hash_noise_keys_decorrelate():
