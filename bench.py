@@ -21,7 +21,10 @@ reference semantics implemented straightforwardly on TPU.
 Measurement notes (this environment tunnels a remote TPU): steps run in
 lax.scan blocks per dispatch (per-call RPC would dominate), batches are
 generated on device inside the block (the tunnel re-ships array
-arguments every call), and timing is forced by a device->host readback
+arguments every call) by the cheap counter hash — uniform [-1,1) like
+reference-preprocessed images; jax.random.normal would bill ~19M
+threefry+erfinv words of input-generation per step to the train step —
+and timing is forced by a device->host readback
 because ``block_until_ready`` on the axon backend returns early.  The
 measurement body is imported from benchmarks/imagenet_bench.py so both
 entry points share one compilation-cache entry.

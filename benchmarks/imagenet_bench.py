@@ -57,7 +57,15 @@ def measure(cfg: QuantConfig, batch: int, unroll: int, depth: int,
         def body(carry, _):
             params, qstate, velocity, step = carry
             kd = jax.random.fold_in(key, step)
-            x = jax.random.normal(kd, (batch, image, image, 3), jnp.float32)
+            # synthetic input from the cheap counter hash, uniform in
+            # [-1, 1) (the reference's preprocessing lands images in
+            # roughly that range, main.py:47-80).  jax.random.normal
+            # here would add ~19M threefry+erfinv words per step of
+            # *input-generation* cost to the measured step — not part
+            # of training (real runs stream batches from the host
+            # pipeline while the previous step computes).
+            from lbt_tpu.dfxp.quantize import _hash_uniform
+            x = _hash_uniform(kd, (batch, image, image, 3)) * 2.0 - 1.0
             y = jax.random.randint(
                 jax.random.fold_in(kd, 1), (batch,), 0, classes, jnp.int32)
             params, qstate, velocity, m = inner(
