@@ -68,6 +68,24 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n_train", type=int, default=10000)
     ap.add_argument("--n_test", type=int, default=2000)
+    # -- gap-sensitive "hard" generalization task (synthetic only) --
+    # The default synthetic task saturates every config at ~1.0 top-1
+    # (memorization of a high-SNR distribution) and cannot resolve the
+    # 0.3% BASELINE criterion.  --hard lowers the class signal and
+    # raises the class count so held-out accuracy is bounded by
+    # estimation error from a small train set: FP32 lands mid-range and
+    # narrow widths measurably degrade (see --ladder).
+    ap.add_argument("--hard", action="store_true")
+    ap.add_argument("--signal", type=float, default=0.25,
+                    help="class-prototype amplitude vs unit sample noise "
+                         "(hard mode)")
+    ap.add_argument("--classes", type=int, default=100,
+                    help="synthetic class count (hard mode)")
+    ap.add_argument("--label_noise", type=float, default=0.0,
+                    help="fraction of train labels flipped (hard mode)")
+    # -- width ladder: FP32 + {8,6,4,2} bits x {sim,int8} engines + the
+    # lean round-2/3 knob configs at 8 bits, one JSON gap table --
+    ap.add_argument("--ladder", action="store_true")
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--bits", type=int, nargs="*", default=[8, 32])
@@ -101,7 +119,16 @@ def main():
             raise SystemExit(f"--bits entries must be 1..32, got {b}")
 
     ds = MODEL_DATASET[args.model]
-    data = load_dataset(ds, n_train=args.n_train, n_test=args.n_test)
+    if args.hard:
+        data = load_dataset(ds, n_train=args.n_train, n_test=args.n_test,
+                            signal=args.signal,
+                            override_classes=args.classes,
+                            label_noise=args.label_noise)
+        if not data["synthetic"]:
+            raise SystemExit("--hard shapes the synthetic generator only; "
+                             "real cached data was found")
+    else:
+        data = load_dataset(ds, n_train=args.n_train, n_test=args.n_test)
     augment = make_augment(ds)
     decay_epochs = (tuple(args.lr_decay_epochs)
                     if args.lr_decay_epochs is not None
@@ -125,30 +152,51 @@ def main():
                    "bn_momentum": args.bn_momentum},
         "runs": [],
     }
-    for bits in args.bits:
-        r = run(args.model, bits, tc, data, augment, args.engine,
-                args.noise_mode, args.fused_bn, args.bn_momentum,
-                args.eval_every, args.conv_act_extra,
-                args.range_update_every, args.act_dtype,
-                args.noise_shared_axis0, args.bn_residual_q16)
-        r["noise_mode"] = args.noise_mode
-        r["range_update_every"] = args.range_update_every
-        r["fused_bn"] = args.fused_bn
-        r["act_dtype"] = args.act_dtype
-        r["conv_act_extra"] = args.conv_act_extra
-        r["noise_shared_axis0"] = args.noise_shared_axis0
-        r["bn_residual_q16"] = args.bn_residual_q16
-        print(f"bits={bits}: final top-1 {r['final']['accuracy']:.4f} "
+    if args.hard:
+        results["hard"] = {"signal": args.signal, "classes": args.classes,
+                           "label_noise": args.label_noise}
+
+    if args.ladder:
+        # The BASELINE.md protocol instrument: FP32 floor; every width
+        # through BOTH engines at identical noise settings (sim vs int8 —
+        # the integer-code path must reproduce the simulation's gap); the
+        # round-2/3 lean knob configs at 8 bits (headline promotion
+        # evidence, incl. conv_act_extra=0).
+        jobs = [("fp32", dict(bits=32, engine="sim"))]
+        for b in (8, 6, 4, 2):
+            jobs.append((f"sim-{b}", dict(bits=b, engine="sim",
+                                          noise_mode="hash")))
+            jobs.append((f"int8-{b}", dict(bits=b, engine="int8",
+                                           noise_mode="hash")))
+        lean = dict(bits=8, engine="int8", noise_mode="hash1",
+                    fused_bn=True, range_update_every=8, act_dtype="bf16")
+        jobs.append(("int8-8-lean-h1", lean))
+        jobs.append(("int8-8-lean-h1-a8", {**lean, "conv_act_extra": 0}))
+    else:
+        jobs = [(f"bits{b}", dict(
+            bits=b, engine=args.engine, noise_mode=args.noise_mode,
+            fused_bn=args.fused_bn, conv_act_extra=args.conv_act_extra,
+            range_update_every=args.range_update_every,
+            act_dtype=args.act_dtype,
+            noise_shared_axis0=args.noise_shared_axis0,
+            bn_residual_q16=args.bn_residual_q16)) for b in args.bits]
+
+    for name, kw in jobs:
+        r = run(args.model, kw.pop("bits"), tc, data, augment,
+                kw.pop("engine"), bn_momentum=args.bn_momentum,
+                eval_every=args.eval_every, **kw)
+        r["config"] = name
+        r.update(kw)
+        print(f"{name}: final top-1 {r['final']['accuracy']:.4f} "
               f"loss {r['final']['loss']:.4f}", flush=True)
         results["runs"].append(r)
 
-    if len(results["runs"]) >= 2:
-        accs = {r["bits"]: r["final"]["accuracy"]
-                for r in results["runs"]}
-        if 32 in accs:
-            for b, a in accs.items():
-                if b != 32:
-                    results[f"gap_bits{b}_vs_fp32"] = accs[32] - a
+    accs = {r["config"]: r["final"]["accuracy"] for r in results["runs"]}
+    fp32_acc = accs.get("fp32", accs.get("bits32"))
+    if fp32_acc is not None:
+        results["gaps_vs_fp32"] = {
+            name: round(fp32_acc - a, 4) for name, a in accs.items()
+            if name not in ("fp32", "bits32")}
     suffix = f"_{args.tag}" if args.tag else ""
     out = os.path.join(os.path.dirname(__file__),
                        f"accuracy_{args.model}{suffix}.json")

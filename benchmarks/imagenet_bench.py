@@ -64,8 +64,8 @@ def measure(cfg: QuantConfig, batch: int, unroll: int, depth: int,
             # *input-generation* cost to the measured step — not part
             # of training (real runs stream batches from the host
             # pipeline while the previous step computes).
-            from lbt_tpu.dfxp.quantize import _hash_uniform
-            x = _hash_uniform(kd, (batch, image, image, 3)) * 2.0 - 1.0
+            from lbt_tpu.dfxp.quantize import hash_uniform
+            x = hash_uniform(kd, (batch, image, image, 3)) * 2.0 - 1.0
             y = jax.random.randint(
                 jax.random.fold_in(kd, 1), (batch,), 0, classes, jnp.int32)
             params, qstate, velocity, m = inner(

@@ -139,6 +139,10 @@ class QuantConfig:
     # saved tensor is post-quantizer).  Math is unchanged (the bf16
     # round-trip is exact on-grid); like any remat annotation it can
     # shift XLA fusion contexts (~1e-6 rewrite wobble, see remat_bn).
+    # The bf16 storage cast also rounds the backward cotangent into the
+    # BN input through bf16 (see nn/norm.py:_tag_xq).  Precedence: if
+    # remat_bn is ALSO set, full remat wins and this knob is ignored
+    # (full recompute saves strictly less than the selective policy).
     # Off by default.
     bn_residual_q16: bool = False
     # Run the range controllers every K-th step instead of every step

@@ -60,10 +60,24 @@ def _load_raw(name: str):
     return None
 
 
-def _synthetic(name: str, n_train: int, n_test: int, seed: int = 1234):
+def _synthetic(name: str, n_train: int, n_test: int, seed: int = 1234,
+               signal: float = 1.0, n_classes: int = 0,
+               label_noise: float = 0.0):
     """Learnable synthetic stand-in: each class has a smooth prototype
-    image; samples are prototype + noise, quantized to uint8."""
-    shape, n_classes, _, _ = _SHAPES[name]
+    image; samples are prototype + noise, quantized to uint8.
+
+    ``signal`` scales the prototype relative to the fixed unit sample
+    noise — the default 1.0 gives a high-SNR task every config memorizes
+    to ~100% (fine as a training smoke test, useless as a gap
+    instrument).  The *hard* generalization harness
+    (benchmarks/accuracy.py --hard) lowers ``signal`` and raises
+    ``n_classes`` so that the Bayes-suboptimal estimation error of a
+    small training set dominates: test accuracy then sits mid-range for
+    FP32 and degrades measurably as quantization noise competes with the
+    class signal.  ``label_noise`` flips that fraction of TRAIN labels
+    uniformly (test labels stay clean)."""
+    shape, def_classes, _, _ = _SHAPES[name]
+    n_classes = n_classes or def_classes
     rng = np.random.default_rng(seed)
     protos = rng.normal(0.0, 1.0, (n_classes,) + shape).astype(np.float32)
     # smooth the prototypes a little so conv nets have structure to find
@@ -72,22 +86,33 @@ def _synthetic(name: str, n_train: int, n_test: int, seed: int = 1234):
         from scipy.ndimage import convolve  # available in the image
         protos = np.stack([convolve(p, k, mode="wrap") for p in protos])
         protos /= protos.std() + 1e-8
+    protos *= signal
 
-    def draw(n, seed2):
+    def draw(n, seed2, flip_frac=0.0):
         r = np.random.default_rng(seed2)
         y = r.integers(0, n_classes, n).astype(np.int32)
         x = protos[y] + r.normal(0.0, 1.5, (n,) + shape).astype(np.float32)
         x = np.clip((x * 32) + 128, 0, 255).astype(np.uint8)
+        if flip_frac > 0.0:
+            m = r.random(n) < flip_frac
+            y = np.where(m, r.integers(0, n_classes, n).astype(np.int32), y)
         return x, y
 
-    return draw(n_train, seed + 1), draw(n_test, seed + 2)
+    return (draw(n_train, seed + 1, label_noise),
+            draw(n_test, seed + 2)), n_classes
 
 
 @functools.lru_cache(maxsize=None)
 def load_dataset(name: str, n_train: int = 0, n_test: int = 0,
-                 flatten: bool = False) -> Dict[str, Arrays]:
+                 flatten: bool = False, signal: float = 1.0,
+                 override_classes: int = 0,
+                 label_noise: float = 0.0) -> Dict[str, Arrays]:
     """Returns {'train': (X, y), 'test': (X, y), 'synthetic': bool} with
-    float32 X preprocessed the reference way (mean-sub, /128)."""
+    float32 X preprocessed the reference way (mean-sub, /128).
+
+    ``signal`` / ``override_classes`` / ``label_noise`` shape the
+    synthetic fallback only (gap-sensitive accuracy harness — see
+    _synthetic); they are ignored when real cached data is found."""
     if name not in _SHAPES:
         raise ValueError(f"unknown dataset {name!r}")
     shape, n_classes, def_train, def_test = _SHAPES[name]
@@ -97,7 +122,9 @@ def load_dataset(name: str, n_train: int = 0, n_test: int = 0,
     raw = _load_raw(name)
     synthetic = raw is None
     if synthetic:
-        raw = _synthetic(name, n_train, n_test)
+        raw, n_classes = _synthetic(
+            name, n_train, n_test, signal=signal, n_classes=override_classes,
+            label_noise=label_noise)
     (xtr, ytr), (xte, yte) = raw
     xtr, ytr = xtr[:n_train], ytr[:n_train]
     xte, yte = xte[:n_test], yte[:n_test]

@@ -73,12 +73,17 @@ def _hash_uniform(key: jax.Array, shape, light: bool = False) -> jax.Array:
     across CPU/TPU backends.
 
     ``light=True`` (noise_mode='hash1'): a single multiply-xorshift
-    round (~5 VPU ops/word).  Still an exact bijection of the counter —
-    the marginal distribution is perfectly uniform — but with weaker
-    avalanche, i.e. more cross-element structure than lowbias32.
+    round (~5 VPU ops/word).  Each round is a bijection of the full
+    uint32 counter domain, so over ALL 2^32 counters the output is
+    exactly uniform; a real tensor uses only the 0..n-1 counter slice,
+    where uniformity rests on the empirical equidistribution of the
+    truncated multiply-xorshift (validated by the chi-square /
+    unbiasedness / key-decorrelation tests in tests/test_quantize.py,
+    parametrized over light), not on the bijection argument.  Avalanche
+    is weaker than lowbias32 — more cross-element structure.
     Per-element and per-step independence of the *seed* is unchanged
     (fresh fold_in key per site per step), and accuracy parity is
-    validated on the 12-epoch harness (benchmarks/BENCH_NOTES.md).
+    validated on the training harness (benchmarks/BENCH_NOTES.md).
     """
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = kd[..., 0] + kd[..., -1] * jnp.uint32(0x9E3779B9)
@@ -100,6 +105,11 @@ def _hash_uniform(key: jax.Array, shape, light: bool = False) -> jax.Array:
         x ^= x >> 16
     u = (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
     return u[:n].reshape(shape)
+
+
+# Public alias: benchmarks use this for cheap on-device synthetic inputs
+# (uniform [0,1) without billing threefry cost to the measured step).
+hash_uniform = _hash_uniform
 
 
 def _noise(key: jax.Array, shape, shared_axis0: bool,

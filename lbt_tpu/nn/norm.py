@@ -50,6 +50,10 @@ def _maybe_remat_apply(layer, impl, params, qstate, sinks, x, ctx):
     def fn(p, q, s, x_, key):
         return impl(p, q, s, x_, _dc.replace(ctx, key=key))
 
+    # Precedence (documented in QuantConfig.bn_residual_q16): when BOTH
+    # remat knobs are set, full remat_bn wins and the q16 save policy is
+    # ignored — full recompute already saves strictly less than the
+    # selective policy would.
     if cfg.bn_residual_q16 and not cfg.remat_bn:
         fn = jax.checkpoint(
             fn, policy=jax.checkpoint_policies.save_only_these_names(
@@ -63,8 +67,14 @@ def _tag_xq(cfg, xq, bits):
     """Tag the quantized BN input for the bn_residual_q16 save policy.
 
     Cast to bf16 for storage when the grid is exact there (<=9 bits);
-    downstream math always reads the f32 upcast, so numerics are
-    unchanged.  No-op (identity) when the knob is off.
+    downstream math always reads the f32 upcast, so the forward VALUE is
+    unchanged.  Note the backward direction: autodiff of the astype pair
+    rounds the cotangent flowing to the BN input through bf16 as well
+    (even with act_dtype='f32') — a ~2^-8-relative perturbation on a
+    tensor the next upstream barrier requantizes to bits_g anyway, but a
+    real divergence from the f32-cotangent path; it is part of what the
+    bn_residual_q16 equivalence tests' tolerance covers
+    (tests/test_carrier.py).  No-op (identity) when the knob is off.
     """
     from jax.ad_checkpoint import checkpoint_name
     if not cfg.bn_residual_q16:

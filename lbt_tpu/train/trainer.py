@@ -219,6 +219,7 @@ class Trainer:
                     "epoch %d batch %d loss %.4f acc %.4f (%.0f img/s)",
                     epoch, b + 1, m["loss"], m["accuracy"], rate)
                 self.metrics.write(self.step, m, prefix="train/")
+                self.metrics.write_param_means(self.step, self.params)
                 last = m
         self.profiler.stop()
         return last
@@ -299,6 +300,7 @@ class Trainer:
                     "epoch %d step %d loss %.4f acc %.4f (%.0f img/s)",
                     epoch, self.step, m["loss"], m["accuracy"], rate)
                 self.metrics.write(self.step, m, prefix="train/")
+                self.metrics.write_param_means(self.step, self.params)
                 last = m
         self.profiler.stop()
         return last

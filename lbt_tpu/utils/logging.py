@@ -92,6 +92,25 @@ class MetricsWriter:
         if row:
             self.write(step, row)
 
+    def write_param_means(self, step: int, params, prefix: str = "param/"):
+        """Per-tensor parameter means (the reference's ``W_mean`` /
+        ``b_mean`` / ``g_mean`` TensorBoard scalars, logged per layer
+        every summary step — reference dynamic_fixed_point.py:275-285).
+        One fused jitted reduction over the whole params pytree, fetched
+        once; tags are ``param/<layer>/<tensor>_mean``."""
+        if self._f is None:
+            return
+        if not hasattr(self, "_mean_fn"):
+            self._mean_fn = jax.jit(lambda p: jax.tree_util.tree_map(
+                lambda a: a.astype("float32").mean(), p))
+        means = jax.device_get(self._mean_fn(params))
+        row = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(means)[0]:
+            keys = [str(getattr(p, "key", p)) for p in path]
+            row[prefix + "/".join(keys) + "_mean"] = float(leaf)
+        if row:
+            self.write(step, row)
+
     def close(self):
         if self._f:
             self._f.close()

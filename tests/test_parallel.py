@@ -220,6 +220,99 @@ def test_tp_sharded_jit_step_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+def _tp_equiv_check(model, mesh, n_steps=3, stochastic=False,
+                    batch=32, rtol=1e-5, atol=1e-6):
+    """GSPMD-sharded train step vs single-device step: params + exponents
+    must track (exponents exactly; floats to tolerance).  The sharded fn
+    is the SAME make_train_step closure jitted over device_put-sharded
+    operands — GSPMD partitions the contractions and inserts the
+    collectives (VERDICT round-2 task 4: same rigor as the DP test)."""
+    tc = TrainConfig(lr=0.05, batch_size=batch)
+    params, qstate = model.init(jax.random.key(0))
+    vel = momentum_init(params)
+    rng = np.random.default_rng(1)
+    shape = (batch,) + model.input_shape
+    x = rng.normal(0, 1, shape).astype(np.float32)
+    y = rng.integers(0, model.num_classes, batch).astype(np.int32)
+
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+    single = make_train_step(model, tc)
+    p1, q1, v1 = copy(params), copy(qstate), copy(vel)
+    for i in range(n_steps):
+        p1, q1, v1, m1 = single(p1, q1, v1, x, y, i, jnp.float32(0.05),
+                                jax.random.key(9))
+
+    pspecs = param_pspecs(params)
+    assert any("model" in str(s) for s in jax.tree.leaves(
+        pspecs, is_leaf=lambda s: isinstance(s, P))), "nothing tp-sharded"
+    sh = to_shardings(mesh, pspecs)
+    p2 = jax.device_put(copy(params), sh)
+    v2 = jax.device_put(copy(vel), sh)
+    q2 = jax.device_put(copy(qstate), NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ys = jax.device_put(np.asarray(y), NamedSharding(mesh, P("data")))
+    step = jax.jit(make_train_step(model, tc, jit=False))
+    for i in range(n_steps):
+        p2, q2, v2, m2 = step(p2, q2, v2, xs, ys, jnp.int32(i),
+                              jnp.float32(0.05), jax.random.key(9))
+
+    # exponent state: integer controllers, must agree exactly
+    for a, b in zip(jax.tree.leaves(q1), jax.tree.leaves(q2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=rtol)
+
+
+def test_tp_dense_step_matches_single_device():
+    """Pure TP (model=8): deterministic dense toy, 3 steps."""
+    cfg = QuantConfig.uniform(8, engine="int8", stochastic=False)
+    model = Model("toy", [
+        Dense("d1", cfg, 20, 256),
+        ReLU(),
+        Dense("d2", cfg, 256, 128),
+        ReLU(),
+        Dense("d3", cfg, 128, 4),
+    ], input_shape=(20,), num_classes=4, cfg=cfg)
+    _tp_equiv_check(model, make_mesh(data=1, model=8))
+
+
+def test_tp_conv_model_matches_single_device():
+    """TP on a conv+BN model (Cout sharded over 'model'), dp x tp 2x4."""
+    from lbt_tpu.nn import AvgPool, BatchNorm, Conv2d, Flatten
+    cfg = QuantConfig.uniform(8, engine="int8", stochastic=False)
+    model = Model("convtoy", [
+        Conv2d("c1", cfg, (3, 3, 3, 64), use_bias=False),
+        BatchNorm("bn1", cfg, 64),
+        ReLU(),
+        Conv2d("c2", cfg, (3, 3, 64, 64), use_bias=False),  # tp-sharded
+        BatchNorm("bn2", cfg, 64),
+        ReLU(),
+        AvgPool(ksize=(8, 8), strides=(8, 8)),
+        Flatten(dim=64),
+        Dense("fc", cfg, 64, 4),
+    ], input_shape=(8, 8, 3), num_classes=4, cfg=cfg)
+    _tp_equiv_check(model, make_mesh(data=2, model=4), batch=16)
+
+
+def test_tp_dp_stochastic_exponents_match():
+    """dp x tp 4x2 with stochastic hash rounding: the counter-hash noise
+    is a function of (key, element index) only, so the sharded step must
+    reproduce the single-device trajectory exactly at the integer level
+    (exponents) and to float tolerance on params."""
+    cfg = QuantConfig.uniform(8, engine="int8", noise_mode="hash")
+    model = Model("toy", [
+        Dense("d1", cfg, 20, 256),
+        ReLU(),
+        Dense("d2", cfg, 256, 128),
+        ReLU(),
+        Dense("d3", cfg, 128, 4),
+    ], input_shape=(20,), num_classes=4, cfg=cfg)
+    _tp_equiv_check(model, make_mesh(data=4, model=2))
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -221,12 +221,14 @@ def test_hash1_stochastic_rounding_unbiased():
     np.testing.assert_allclose(acc / n, x, atol=0.3 * step)
 
 
-def test_hash_noise_keys_decorrelate():
-    from lbt_tpu.dfxp.quantize import _hash_uniform
-    u1 = np.asarray(_hash_uniform(jax.random.key(0), (4096,)))
-    u2 = np.asarray(_hash_uniform(jax.random.key(1), (4096,)))
+@pytest.mark.parametrize("light", [False, True])
+def test_hash_noise_keys_decorrelate(light):
+    from lbt_tpu.dfxp.quantize import hash_uniform
+    u1 = np.asarray(hash_uniform(jax.random.key(0), (4096,), light=light))
+    u2 = np.asarray(hash_uniform(jax.random.key(1), (4096,), light=light))
     np.testing.assert_array_equal(
-        u1, np.asarray(_hash_uniform(jax.random.key(0), (4096,))))
+        u1, np.asarray(hash_uniform(jax.random.key(0), (4096,),
+                                    light=light)))
     assert abs(np.corrcoef(u1, u2)[0, 1]) < 0.05
 
 

@@ -35,3 +35,23 @@ def test_metrics_writer_emits_events(tmp_path):
     assert files
     rows = list(read_events(files[0]))
     assert rows == [(7, {"train/loss": 3.0})]
+
+
+def test_metrics_writer_param_means(tmp_path):
+    # per-layer W_mean/b_mean scalars (reference
+    # dynamic_fixed_point.py:275-285)
+    import numpy as np
+    from lbt_tpu.utils.logging import MetricsWriter
+    params = {"conv1": {"W": np.full((3, 3), 2.0, np.float32),
+                        "b": np.zeros((4,), np.float32)},
+              "fc": {"W": np.full((2, 2), -1.0, np.float32)}}
+    m = MetricsWriter(str(tmp_path))
+    m.write_param_means(5, params)
+    m.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    rows = list(read_events(files[0]))
+    assert rows and rows[0][0] == 5
+    tags = rows[0][1]
+    assert abs(tags["param/conv1/W_mean"] - 2.0) < 1e-6
+    assert abs(tags["param/conv1/b_mean"]) < 1e-6
+    assert abs(tags["param/fc/W_mean"] + 1.0) < 1e-6
