@@ -46,7 +46,15 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
     # short-horizon runs need a faster BN EMA or eval sees stale running
     # stats (the reference's 0.999 is tuned for ~250k updates)
     cfg = dataclasses.replace(cfg, bn_momentum=bn_momentum)
-    model = build_model(model_name, cfg, weight_decay=tc.weight_decay)
+    kw = {}
+    nc = data.get("num_classes")
+    if nc and nc != 10:
+        # hard-mode synthetic datasets override the class count; only the
+        # parameterized factories (resnet/vgg/imagenet) accept it — the
+        # four fixed reference models are 10-class by construction
+        kw["num_classes"] = nc
+    model = build_model(model_name, cfg, weight_decay=tc.weight_decay,
+                        **kw)
     trainer = Trainer(model, tc, data, augment=augment,
                       logger=get_logger())
     curve = []

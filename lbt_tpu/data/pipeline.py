@@ -40,19 +40,54 @@ def batch_iterator(
         yield x[sel], y[sel]
 
 
-def device_prefetch(iterator, size: int = 2, device=None):
-    """Move batches to device ``size`` steps ahead of consumption."""
-    queue = collections.deque()
+def device_prefetch(iterator, size: int = 2, device=None,
+                    threaded: bool = True):
+    """Move batches to device ``size`` steps ahead of consumption.
 
-    def enqueue(n):
-        for _ in range(n):
-            try:
-                batch = next(iterator)
-            except StopIteration:
-                return
-            queue.append(jax.device_put(batch, device))
+    ``threaded=True`` (default): a producer thread pulls from
+    ``iterator`` (host batch prep — native-loader decode, numpy
+    slicing) and issues the async ``device_put``, so host prep AND the
+    host->device transfer both overlap the compiled step running on
+    device.  The unthreaded path still overlaps the (async) device_put
+    but blocks the consumer on host prep — double-buffering in depth
+    only, not in host work.  Order is preserved either way; producer
+    exceptions re-raise at the consumer."""
+    if not threaded:
+        queue = collections.deque()
 
-    enqueue(size)
-    while queue:
-        yield queue.popleft()
-        enqueue(1)
+        def enqueue(n):
+            for _ in range(n):
+                try:
+                    batch = next(iterator)
+                except StopIteration:
+                    return
+                queue.append(jax.device_put(batch, device))
+
+        enqueue(size)
+        while queue:
+            yield queue.popleft()
+            enqueue(1)
+        return
+
+    import queue as _q
+    q: "_q.Queue" = _q.Queue(maxsize=size)
+    _END, _ERR = object(), object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(jax.device_put(batch, device))
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            q.put((_ERR, e))
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item

@@ -189,7 +189,24 @@ class Trainer:
         last = {}
         t0, n_img = time.time(), 0
         first_step_logged = self.step > 0
-        for b, (x, y) in enumerate(batches):
+        # input-stall accounting: host-blocked time waiting on the next
+        # (prefetched) batch vs wall time — ~0% means the input pipeline
+        # keeps ahead of the device (ROADMAP #6 verification metric)
+        stall = 0.0
+
+        def timed(it):
+            nonlocal stall
+            it = iter(it)
+            while True:
+                tw = time.time()
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    return
+                stall += time.time() - tw
+                yield batch
+
+        for b, (x, y) in enumerate(timed(batches)):
             if self.augment is not None:
                 x = self.augment(
                     jax.random.fold_in(self.data_key, self.step), x)
@@ -222,6 +239,14 @@ class Trainer:
                 self.metrics.write_param_means(self.step, self.params)
                 last = m
         self.profiler.stop()
+        wall = time.time() - t0
+        if wall > 0 and n_img:
+            self.logger.info(
+                "epoch %d input stall %.1f%% (%.2fs of %.2fs)",
+                epoch, 100.0 * stall / wall, stall, wall)
+            self.metrics.write(self.step,
+                               {"input_stall_frac": stall / wall},
+                               prefix="train/")
         return last
 
     def _train_epoch_scanned(self, epoch: int, lr: float) -> Dict[str, float]:

@@ -44,6 +44,7 @@ def test_quantize_output_survives_bf16():
 
 
 @pytest.mark.parametrize("fused_bn", [False, True])
+@pytest.mark.slow
 def test_bf16_carrier_trains(fused_bn):
     cfg = dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
@@ -65,6 +66,7 @@ def test_bf16_carrier_trains(fused_bn):
     assert losses[-1] < losses[0], losses  # memorizes the fixed batch
 
 
+@pytest.mark.slow
 def test_bf16_carrier_intermediate_dtype():
     # the activation that crosses a layer boundary really is bfloat16
     cfg = dataclasses.replace(
@@ -131,6 +133,7 @@ def test_remat_bn_unfused_equivalent():
         assert np.mean(np.abs(a - b)) / denom < 0.05, (a.shape, denom)
 
 
+@pytest.mark.slow
 def test_remat_bn_trains():
     cfg = dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
@@ -193,6 +196,7 @@ def test_bn_residual_q16_equivalent(fused_bn):
         assert np.mean(np.abs(a - b)) / denom < 0.05, (a.shape, denom)
 
 
+@pytest.mark.slow
 def test_bn_residual_q16_trains():
     cfg = dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
@@ -215,6 +219,7 @@ def test_bn_residual_q16_trains():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_bf16_carrier_eval_matches_itself():
     # eval is deterministic (round-to-nearest) under the carrier
     cfg = dataclasses.replace(

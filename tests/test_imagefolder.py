@@ -65,6 +65,7 @@ def test_eval_stream_keeps_remainder_and_is_deterministic(tree):
         np.testing.assert_array_equal(xa, xb)
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_streaming(tree, tmp_path):
     import jax
 

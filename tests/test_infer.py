@@ -1,6 +1,7 @@
 """Inference / deployment path (lbt_tpu/infer.py)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_export_restore_roundtrip_and_size():
         np.asarray(predict(restored, qstate, x)))
 
 
+@pytest.mark.slow
 def test_predictor_from_checkpoint(tmp_path):
     from lbt_tpu.data.datasets import load_dataset
     from lbt_tpu.train.trainer import Trainer
@@ -165,6 +167,7 @@ def test_fold_batchnorm_fp32_exact():
     assert count_bn(model.net) == 21 and count_bn(fm.net) == 0
 
 
+@pytest.mark.slow
 def test_fold_batchnorm_int8_agreement():
     """Quantized: the fold removes the BN input-quantization site, so
     logits shift by quantization noise only — predictions must agree."""

@@ -83,6 +83,7 @@ def test_fp32_passthrough_model_has_no_quant_state():
         model.make_sinks())
 
 
+@pytest.mark.slow
 def test_mixed_bitwidth_int4_weights():
     cfg = QuantConfig(bits_w=4, bits_a=8, bits_g=8)
     model = build_model("CIFAR10_VGG", cfg)
@@ -95,6 +96,7 @@ def test_mixed_bitwidth_int4_weights():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_resnet_gradient_buffer_sites():
     """Error-feedback GradientBuffers at the reference's commented-out
     sites (reference models.py:407-411,438-442) are insertable and live."""

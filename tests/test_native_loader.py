@@ -81,6 +81,7 @@ def test_flip_rate_about_half():
     assert 0.4 < rate < 0.6, rate
 
 
+@pytest.mark.slow
 def test_trainer_with_native_loader_runs():
     from lbt_tpu.config import QuantConfig, TrainConfig
     from lbt_tpu.data.datasets import load_dataset

@@ -71,6 +71,38 @@ def test_qmatmul_pallas_matches_int8_reference():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_conv3x3_fused_matches_reference():
+    """Fused conv+epilogue kernel vs the lax chain: conv(int8) ->
+    dequant -> min/max -> round-quantize -> moments (deterministic
+    path; the stochastic path is TPU-only, see the bench)."""
+    from lbt_tpu.ops.pallas.conv_kernels import conv3x3_fused_int8
+    rng = np.random.default_rng(3)
+    b, h, w, c, k = 8, 6, 7, 128, 128
+    xq = rng.integers(-8, 8, (b, h, w, c)).astype(np.int8)
+    wq = rng.integers(-8, 8, (3, 3, c, k)).astype(np.int8)
+    inv = jnp.float32(1.0 / 1024.0)
+    mult = jnp.float32(32.0)
+
+    yq, mom, mm = conv3x3_fused_int8(
+        jnp.asarray(xq), jnp.asarray(wq), inv, mult, jnp.int32(0),
+        bits_out=8, stochastic=False)
+
+    y_ref = jax.lax.conv_general_dilated(
+        xq.astype(np.float32), wq.transpose(0, 1, 2, 3).astype(np.float32),
+        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_ref = np.asarray(y_ref) * float(inv)
+    q_ref = np.clip(np.round(y_ref * float(mult)), -128, 127)
+
+    np.testing.assert_array_equal(np.asarray(yq, np.int32),
+                                  q_ref.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(mm),
+                               [y_ref.min(), y_ref.max()], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mom),
+        [q_ref.sum(axis=(0, 1, 2)), (q_ref * q_ref).sum(axis=(0, 1, 2))],
+        rtol=1e-5)
+
+
 def test_qmatmul_pallas_aligned_shapes():
     from lbt_tpu.ops.pallas import qmatmul_pallas
     rng = np.random.default_rng(2)

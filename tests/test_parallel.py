@@ -279,6 +279,7 @@ def test_tp_dense_step_matches_single_device():
     _tp_equiv_check(model, make_mesh(data=1, model=8))
 
 
+@pytest.mark.slow
 def test_tp_conv_model_matches_single_device():
     """TP on a conv+BN model (Cout sharded over 'model'), dp x tp 2x4."""
     from lbt_tpu.nn import AvgPool, BatchNorm, Conv2d, Flatten
@@ -297,6 +298,7 @@ def test_tp_conv_model_matches_single_device():
     _tp_equiv_check(model, make_mesh(data=2, model=4), batch=16)
 
 
+@pytest.mark.slow
 def test_tp_dp_stochastic_exponents_match():
     """dp x tp 4x2 with stochastic hash rounding: the counter-hash noise
     is a function of (key, element index) only, so the sharded step must
@@ -313,6 +315,7 @@ def test_tp_dp_stochastic_exponents_match():
     _tp_equiv_check(model, make_mesh(data=4, model=2))
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -321,6 +324,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_trainer_data_parallel_end_to_end():
     """Trainer with data_parallel + lowbit_allreduce on the virtual mesh."""
     from lbt_tpu.data.datasets import load_dataset

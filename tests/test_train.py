@@ -145,6 +145,7 @@ def test_range_update_cadence_gates_controllers():
     assert t3w == [2, 3, 4, 5, 6, 6, 6]  # steps 0-3 warm, 4-5 gated off
 
 
+@pytest.mark.slow
 def test_lenet_short_training_loss_decreases():
     """BASELINE config 1: tiny CPU-runnable LeNet/MNIST DFP-INT8 slice."""
     cfg = QuantConfig.uniform(8, engine="int8")
@@ -284,6 +285,7 @@ def test_unsafe_rbg_noise_impl():
         assert abs(float(q.mean()) - 0.3) < 0.02
 
 
+@pytest.mark.slow
 def test_faithful_mode_flags_end_to_end():
     """All reference-quirk toggles at once: faithful_eval (train-mode BN
     + dropout in eval), shared-axis0 noise, momentum reset at decays."""
@@ -316,6 +318,7 @@ def test_warmup_schedule():
         pytest.approx(0.01)
 
 
+@pytest.mark.slow
 def test_vgg16_cifar100_int4w_int8a_trains():
     """BASELINE config 3: VGG-16/CIFAR-100 with INT4 weights / INT8
     activations, end-to-end through the Trainer."""
@@ -348,6 +351,7 @@ def test_resnet50_imagenet_subset_trains():
     assert np.isfinite(ev["loss"])
 
 
+@pytest.mark.slow
 def test_trainer_scan_steps_matches_eager():
     """Trainer with scan_steps=K (augment inside the compiled block)
     produces the same trajectory as per-step dispatch, including the
