@@ -94,23 +94,23 @@ def _rand(shape, dt, key):
     return (jax.random.normal(key, shape) * 0.1).astype(dt)
 
 
-def chain_dw(fn, k, acc_dt, dt_in):
+def chain_dw(fn, k, acc_dt, dt_in, length):
     def block(x, g):
         def body(c, _):
-            x, s = c
+            g, s = c
             for _ in range(k):
                 dw = fn(x, g, acc_dt)
                 s = s + dw.sum()
                 # thread s back through g so iterations are sequential
                 # (value unchanged: 1e-30 rounds away in the cast)
                 g = (g.astype(jnp.float32) + (s * 1e-30)).astype(dt_in)
-            return (x, s), ()
-        (x, s), _ = lax.scan(body, (x, jnp.float32(0)), None, length=8)
+            return (g, s), ()
+        (g, s), _ = lax.scan(body, (g, jnp.float32(0)), None, length=length)
         return s
     return block
 
 
-def chain_dx(fn, k, acc_dt, dt_in):
+def chain_dx(fn, k, acc_dt, dt_in, length):
     def block(g, w):
         def body(c, _):
             g, s = c
@@ -119,12 +119,13 @@ def chain_dx(fn, k, acc_dt, dt_in):
                 s = s + dx.sum()
                 g = (dx * 1e-3 + s * 1e-30).astype(dt_in)
             return (g, s), ()
-        (g, s), _ = lax.scan(body, (g, jnp.float32(0)), None, length=8)
+        (g, s), _ = lax.scan(body, (g, jnp.float32(0)), None, length=length)
         return s
     return block
 
 
-def measure(make_chain, fn, name, shapes, dt_in, acc_dt, reps=3):
+def measure(make_chain, fn, name, shapes, dt_in, acc_dt, reps=5,
+            length=32):
     b, hw, ci, co = shapes
     x = _rand((b, hw, hw, ci), dt_in, jax.random.key(0))
     g = _rand((b, hw, hw, co), dt_in, jax.random.key(1))
@@ -132,13 +133,13 @@ def measure(make_chain, fn, name, shapes, dt_in, acc_dt, reps=3):
     args = (x, g) if make_chain is chain_dw else (g, w)
     times = {}
     for k in (1, 3):
-        f = jax.jit(make_chain(fn, k, acc_dt, dt_in))
+        f = jax.jit(make_chain(fn, k, acc_dt, dt_in, length))
         float(f(*args))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             float(f(*args))
-            best = min(best, (time.perf_counter() - t0) / 8)
+            best = min(best, (time.perf_counter() - t0) / length)
         times[k] = best
     per = (times[3] - times[1]) / 2
     fl = 2 * b * hw * hw * ci * co * 9

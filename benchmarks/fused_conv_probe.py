@@ -78,7 +78,7 @@ def chain(unit, n_units, length=8):
     return block
 
 
-def measure(unit, name, b, hw, c, length=8, reps=3):
+def measure(unit, name, b, hw, c, length=32, reps=5):
     rng = jax.random.key(0)
     xq = jax.random.randint(rng, (b, hw, hw, c), -8, 8, jnp.int8)
     wq = jax.random.randint(jax.random.key(1), (3, 3, c, c), -2, 3,
