@@ -32,7 +32,8 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         eval_every: int = 1, conv_act_extra: int = 1,
         range_update_every: int = 1, act_dtype: str = "f32",
         noise_shared_axis0: bool = False,
-        bn_residual_q16: bool = False) -> dict:
+        bn_residual_q16: bool = False,
+        bits_w: int = 0) -> dict:
     import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
            else dataclasses.replace(
@@ -43,6 +44,10 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
                act_dtype=act_dtype,
                noise_shared_axis0=noise_shared_axis0,
                bn_residual_q16=bn_residual_q16))
+    if bits_w and bits < 32:
+        # mixed scheme (BASELINE config 3): narrow weights, wider
+        # activations/grads
+        cfg = dataclasses.replace(cfg, bits_w=bits_w)
     # short-horizon runs need a faster BN EMA or eval sees stale running
     # stats (the reference's 0.999 is tuned for ~250k updates)
     cfg = dataclasses.replace(cfg, bn_momentum=bn_momentum)
@@ -180,6 +185,10 @@ def main():
                     fused_bn=True, range_update_every=8, act_dtype="bf16")
         jobs.append(("int8-8-lean-h1", lean))
         jobs.append(("int8-8-lean-h1-a8", {**lean, "conv_act_extra": 0}))
+        # mixed widths (BASELINE config 3 scheme): INT4 weights ride the
+        # int8 path; activations/grads stay 8-bit
+        jobs.append(("int8-w4a8", dict(bits=8, engine="int8",
+                                       noise_mode="hash", bits_w=4)))
     else:
         jobs = [(f"bits{b}", dict(
             bits=b, engine=args.engine, noise_mode=args.noise_mode,
