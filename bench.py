@@ -27,12 +27,15 @@ see VERDICT.md):
 
 Headline config: integer-code engine, single-round counter-hash
 stochastic rounding ('hash1'), lean fused BatchNorm, controller cadence
-8 with per-step warmup, bf16 activation carrier (each knob
-accuracy-parity validated on the generalization-gap harness —
-benchmarks/BENCH_NOTES.md).  Batch 128: the best measured per-chip
-operating point.  Baseline: bf16 fake-quant simulation with
-reference-grade PRNG noise at the same batch, i.e. the reference
-semantics implemented straightforwardly on TPU.
+8 with per-step warmup, bf16 activation carrier, conv activations at 8
+bits (`conv_act_extra=0`, the a8 knob: every contraction runs int8 x
+int8 -> int32 on the MXU and conv-input codes ship as s8 — promoted to
+the headline in round 3 after the gap-sensitive certification ladder
+put it within 0.23% of FP32, same band as the faithful config; 60-epoch
+long-horizon runs in benchmarks/BENCH_NOTES.md).  Batch 128: the best
+measured per-chip operating point.  Baseline: bf16 fake-quant
+simulation with reference-grade PRNG noise at the same batch, i.e. the
+reference semantics implemented straightforwardly on TPU.
 
 Measurement notes (this environment tunnels a remote TPU): steps run in
 lax.scan blocks per dispatch (per-call RPC would dominate), batches are
@@ -87,7 +90,8 @@ def _emit(ips_int8, ips_sim, source):
 def main():
     headline = dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash1"),
-        fused_bn=True, range_update_every=8, act_dtype="bf16")
+        fused_bn=True, range_update_every=8, act_dtype="bf16",
+        conv_act_extra=0)
     baseline = QuantConfig.uniform(8, engine="sim_bf16", noise_mode="prng")
 
     try:
