@@ -126,6 +126,12 @@ def main():
                     help="K train steps per dispatch (lax.scan)")
     ap.add_argument("--eval_every", type=int, default=1,
                     help="evaluate every N epochs (final epoch always)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init/shuffle/noise streams); "
+                         "the synthetic data draw stays fixed")
+    ap.add_argument("--bits_w", type=int, default=0,
+                    help="override the WEIGHT width (mixed schemes, e.g. "
+                         "--bits 8 --bits_w 4 = BASELINE config 3)")
     args = ap.parse_args()
     for b in args.bits:
         if not 1 <= b <= 32:
@@ -152,6 +158,7 @@ def main():
         lr_decay_factor=args.lr_decay_factor,
         warmup_epochs=args.warmup_epochs,
         scan_steps=args.scan_steps,
+        seed=args.seed,
         log_every=10_000,
     )
     results = {
@@ -196,7 +203,8 @@ def main():
             range_update_every=args.range_update_every,
             act_dtype=args.act_dtype,
             noise_shared_axis0=args.noise_shared_axis0,
-            bn_residual_q16=args.bn_residual_q16)) for b in args.bits]
+            bn_residual_q16=args.bn_residual_q16,
+            bits_w=args.bits_w)) for b in args.bits]
 
     for name, kw in jobs:
         r = run(args.model, kw.pop("bits"), tc, data, augment,
