@@ -9,21 +9,24 @@ controllers + SGD) and prints a JSON line:
     {"metric": ..., "value": images/sec/chip (int8 engine),
      "unit": "images/sec/chip", "vs_baseline": int8_ips / bf16sim_ips}
 
-The line is emitted INCREMENTALLY so a wall-clock cap can never void
-the whole run (round 2's driver capture timed out with zero output —
-see VERDICT.md):
+Exactly ONE JSON line is printed on every exit path (round 2's driver
+capture timed out with zero output; round 3's two-line contract risked
+a first-line consumer reading the stale ratio — see VERDICT.md/ADVICE):
 
-  1. the int8 headline config is measured first and a provisional line
-     is printed immediately, with ``vs_baseline`` taken from the last
-     recorded baseline measurement (benchmarks/headline_baseline.json,
-     ``"baseline_source": "cached"``);
+  1. the int8 headline config is measured first; a provisional line
+     (``vs_baseline`` from the last recorded baseline measurement in
+     benchmarks/headline_baseline.json, ``"baseline_source": "cached"``,
+     self-describing via ``baseline_age_s``) is HELD, and flushed only
+     if the measured leg is skipped, fails, or the process receives
+     SIGTERM/SIGINT from a wall-clock cap;
   2. if enough of the wall-clock budget remains (env
      ``LBT_BENCH_BUDGET_S``, default 420 s — sized for an external cap
      of ~10 min), the bf16-sim baseline is measured in-session and the
-     final line re-printed with the measured ratio
+     single final line carries the measured ratio
      (``"baseline_source": "measured"``); the cache file is refreshed.
 
-  Consumers should take the LAST JSON line.
+  The cached denominator is validated against the current BATCH/UNROLL
+  constants (stamped in the cache file) and ignored on mismatch.
 
 Headline config: integer-code engine, single-round counter-hash
 stochastic rounding ('hash1'), lean fused BatchNorm, controller cadence
@@ -53,6 +56,8 @@ import dataclasses
 import importlib.util
 import json
 import os
+import signal
+import sys
 import time
 
 _T0 = time.monotonic()
@@ -80,14 +85,55 @@ def _measure(cfg):
     return BATCH / dt
 
 
-def _emit(ips_int8, ips_sim, source):
-    print(json.dumps({
+def _emit(ips_int8, ips_sim, source, extra=None):
+    line = {
         "metric": "resnet50_imagenet224_dfp_int8_train_throughput",
         "value": round(ips_int8, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_int8 / ips_sim, 3),
         "baseline_source": source,
-    }), flush=True)
+    }
+    line.update(extra or {})
+    print(json.dumps(line), flush=True)
+
+
+class _Fallback:
+    """Guarantees exactly ONE stdout JSON line on every exit path.
+
+    Round 2's driver capture timed out with zero output; round 3 fixed
+    that by printing a provisional cached-ratio line first, but that
+    left two lines on stdout when the measured leg also ran (advisor
+    round 3: a first-line consumer would read the stale ratio).  Now the
+    provisional line is *held* and only flushed if the final measured
+    line can't be produced — including on SIGTERM/SIGINT (external
+    wall-clock caps send TERM), via handlers installed here.  Only
+    SIGKILL can still void the run.
+    """
+
+    def __init__(self):
+        self.pending = None
+        self.done = False
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, self._on_signal)
+
+    def arm(self, ips_int8, ips_sim, extra):
+        self.pending = (ips_int8, ips_sim, extra)
+
+    def flush(self):
+        if self.done:
+            return
+        self.done = True
+        if self.pending is not None:
+            _emit(self.pending[0], self.pending[1], "cached",
+                  self.pending[2])
+
+    def finalize(self, ips_int8, ips_sim):
+        self.done = True
+        _emit(ips_int8, ips_sim, "measured")
+
+    def _on_signal(self, signum, frame):
+        self.flush()
+        sys.exit(128 + signum)
 
 
 def main():
@@ -99,13 +145,28 @@ def main():
 
     try:
         with open(_BASELINE_CACHE) as f:
-            cached_sim = float(json.load(f)["img_per_s"])
+            _cache = json.load(f)
+        cached_sim = float(_cache["img_per_s"])
+        # The cached denominator is only valid at the same operating
+        # point.  A constant bump (e.g. UNROLL 8->16 in round 3) must
+        # invalidate the cache and force an in-session measurement —
+        # otherwise the ratio silently mixes operating points.
+        if int(_cache.get("batch", -1)) != BATCH or \
+                int(_cache.get("unroll", -1)) != UNROLL:
+            cached_sim = None
+        cached_age = _cache.get("age_rounds", 0)
     except Exception:
-        cached_sim = None
+        cached_sim, cached_age = None, None
 
+    fb = _Fallback()
     ips_int8 = _measure(headline)
     if cached_sim:
-        _emit(ips_int8, cached_sim, "cached")
+        age_s = None
+        if _cache.get("measured_at"):
+            age_s = round(time.time() - float(_cache["measured_at"]))
+        fb.arm(ips_int8, cached_sim,
+               {"baseline_age_rounds": cached_age,
+                "baseline_age_s": age_s})
     t_int8 = time.monotonic() - _T0
 
     # The baseline program is the same model family at the same shapes:
@@ -114,23 +175,27 @@ def main():
     # headline cost (plus slack) — the provisional line then stands.
     remaining = BUDGET_S - (time.monotonic() - _T0)
     if remaining < 1.25 * t_int8 + 30 and cached_sim:
+        fb.flush()
         return
     try:
         ips_sim = _measure(baseline)
     except Exception:
         if cached_sim:
+            fb.flush()
             return
         raise
-    _emit(ips_int8, ips_sim, "measured")
+    fb.finalize(ips_int8, ips_sim)
     try:
         with open(_BASELINE_CACHE, "w") as f:
             json.dump({
                 "metric": "resnet50_imagenet224_sim_bf16_train_throughput",
                 "img_per_s": round(ips_sim, 1), "batch": BATCH,
                 "unroll": UNROLL,
+                "age_rounds": 0, "measured_at": time.time(),
                 "note": "auto-refreshed by bench.py after an in-session "
-                        "baseline measurement; seeded from the round-2 "
-                        "measurement (benchmarks/BENCH_NOTES.md).",
+                        "baseline measurement; batch/unroll stamped for "
+                        "cache validation (a mismatch with the current "
+                        "constants voids the cache).",
             }, f, indent=1)
     except OSError:
         pass

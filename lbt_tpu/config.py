@@ -201,16 +201,21 @@ class QuantConfig:
                 "prng": "xla"}[self.noise_mode]
 
     @classmethod
-    def fp32(cls) -> "QuantConfig":
+    def fp32(cls, **kw) -> "QuantConfig":
         """Unquantized baseline (reference --bits 32 passthrough)."""
-        return cls(bits_w=32, bits_a=32, bits_b=32, bits_g=32,
-                   conv_act_extra=0, stochastic=False, engine="sim")
+        base = dict(bits_w=32, bits_a=32, bits_b=32, bits_g=32,
+                    conv_act_extra=0, stochastic=False, engine="sim")
+        base.update(kw)
+        return cls(**base)
 
     @classmethod
     def uniform(cls, bits: int, **kw) -> "QuantConfig":
         """Reference-style single bit-width (conv acts at bits+1)."""
         if bits == 32:
-            return cls.fp32()
+            # kwargs must survive the passthrough branch too — dropping
+            # them silently made uniform(32, faithful_eval=True) a no-op
+            # (caught by the round-4 ragged-eval test).
+            return cls.fp32(**kw)
         return cls(bits_w=bits, bits_a=bits, bits_b=bits, bits_g=bits, **kw)
 
 

@@ -72,22 +72,51 @@ def device_prefetch(iterator, size: int = 2, device=None,
     import queue as _q
     q: "_q.Queue" = _q.Queue(maxsize=size)
     _END, _ERR = object(), object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put that aborts when the consumer is gone, so an
+        # abandoned generator (exception in the train step, early
+        # break) can't leave this thread blocked forever holding
+        # ~size+2 device-resident batches and the loader's resources.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _q.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(jax.device_put(batch, device))
+                if stop.is_set():
+                    return
+                if not _put(jax.device_put(batch, device)):
+                    return
         except BaseException as e:  # noqa: BLE001 - re-raised below
-            q.put((_ERR, e))
+            _put((_ERR, e))
             return
-        q.put(_END)
+        _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        # Consumer done or abandoned (GeneratorExit lands here): stop
+        # the producer and drain so any in-flight put unblocks and the
+        # device buffers are released promptly.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except _q.Empty:
+            pass

@@ -340,15 +340,25 @@ class Trainer:
                                      shuffle=False, drop_remainder=False)
         tot = {"loss": 0.0, "accuracy": 0.0}
         n_batches = 0
+        n_examples = 0.0
+        faithful = bool(self.model.cfg and self.model.cfg.faithful_eval)
         key = jax.random.fold_in(self.base_key, 0xE7A1)
         for x, y in batches:
             m = self.eval_step(self.params, self.qstate, x, y, key)
             m = jax.device_get(m)
-            tot["loss"] += float(m["loss"])
-            tot["accuracy"] += float(m["accuracy"])
+            count = float(m.get("count", x.shape[0]))
+            w = 1.0 if faithful else count
+            tot["loss"] += float(m["loss"]) * w
+            tot["accuracy"] += float(m["accuracy"]) * w
             n_batches += 1
-        # mean over batches, as the reference does (trainer.py:185-186)
-        return {k: v / max(n_batches, 1) for k, v in tot.items()}
+            n_examples += count
+        # Default: count-weighted mean — exact over the eval set even when
+        # the final batch is ragged (drop_remainder=False).  The reference
+        # instead averages per-batch means (trainer.py:185-186), which
+        # over-weights a short last batch; that behavior is preserved under
+        # ``faithful_eval`` along with its batch-stat BN quirk.
+        denom = max(n_batches, 1) if faithful else max(n_examples, 1.0)
+        return {k: v / denom for k, v in tot.items()}
 
     def train(self):
         self.maybe_restore()

@@ -22,6 +22,16 @@ import jax
 import numpy as np
 
 
+def _path_entry_str(p) -> str:
+    """Clean tag for one pytree path entry: ``DictKey('conv1')`` ->
+    ``conv1``, ``SequenceKey(idx=0)`` -> ``0``, ``GetAttrKey('w')`` ->
+    ``w`` — so non-dict params pytrees don't produce repr-style tags."""
+    for attr in ("key", "idx", "name"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
 def get_logger(path: Optional[str] = None,
                name: str = "lbt_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
@@ -106,7 +116,7 @@ class MetricsWriter:
         means = jax.device_get(self._mean_fn(params))
         row = {}
         for path, leaf in jax.tree_util.tree_flatten_with_path(means)[0]:
-            keys = [str(getattr(p, "key", p)) for p in path]
+            keys = [_path_entry_str(p) for p in path]
             row[prefix + "/".join(keys) + "_mean"] = float(leaf)
         if row:
             self.write(step, row)

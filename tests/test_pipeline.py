@@ -40,3 +40,33 @@ def test_batch_iterator_shuffles_per_epoch_deterministically():
     assert a == b
     assert a != c
     assert sorted(sum(a, [])) == list(range(32))
+
+
+def test_device_prefetch_threaded_releases_producer_on_abandon():
+    """An abandoned generator (early break) must not leave the producer
+    thread blocked on a full queue holding device buffers (advisor
+    round 3)."""
+    import threading
+    import time
+
+    produced = []
+
+    def src():
+        for i in range(100):
+            produced.append(i)
+            yield (np.full((2,), i, np.float32), np.full((2,), i, np.int32))
+
+    it = device_prefetch(src(), size=2, threaded=True)
+    next(it)
+    it.close()  # GeneratorExit -> finally: stop + drain
+    n_threads_deadline = time.time() + 5.0
+    while time.time() < n_threads_deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.daemon and t.is_alive() and "Thread-" in t.name]
+        time.sleep(0.05)
+        before = len(produced)
+        time.sleep(0.3)
+        if len(produced) == before:
+            break
+    # producer stopped pulling well short of the 100-item source
+    assert len(produced) < 100

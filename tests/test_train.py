@@ -384,3 +384,56 @@ def test_trainer_scan_steps_matches_eager():
             np.testing.assert_array_equal(a, b)
         else:  # BN running stats etc.
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_eval_count_weighted_with_ragged_final_batch():
+    """Default eval is a count-weighted mean over examples: with
+    drop_remainder=False and a short final batch, evaluate() must equal
+    a single-batch evaluation of the whole test set.  The reference
+    instead averages per-batch means (reference trainer.py:185-186),
+    over-weighting the short batch — that behavior stays available
+    under ``faithful_eval`` (checked to differ here)."""
+    import dataclasses
+
+    cfg = QuantConfig.uniform(32)  # passthrough: per-example determinism
+    tc = TrainConfig(batch_size=16, n_epoch=1, log_every=1000,
+                     eval_batch_size=32)
+    data = load_dataset("mnist", n_train=64, n_test=80)  # 32+32+16
+    model = build_model("MNIST", cfg)
+    tr = Trainer(model, tc, data)
+    tr.train_epoch(0)
+    ragged = tr.evaluate()
+
+    tr_full = Trainer(model, dataclasses.replace(tc, eval_batch_size=80),
+                      data)
+    tr_full.params, tr_full.qstate = tr.params, tr.qstate
+    full = tr_full.evaluate()
+    assert ragged["loss"] == pytest.approx(full["loss"], rel=1e-5)
+    assert ragged["accuracy"] == pytest.approx(full["accuracy"], rel=1e-6)
+
+    # the reference's mean-of-batch-means, reproduced independently
+    exp_loss, exp_acc, n = 0.0, 0.0, 0
+    key = jax.random.fold_in(tr.base_key, 0xE7A1)
+    from lbt_tpu.data.pipeline import batch_iterator as _bi
+    for x, y in _bi(*data["test"], 32, shuffle=False,
+                    drop_remainder=False):
+        m = jax.device_get(tr.eval_step(tr.params, tr.qstate, x, y, key))
+        exp_loss += float(m["loss"]); exp_acc += float(m["accuracy"]); n += 1
+    cfg_f = QuantConfig.uniform(32, faithful_eval=True)
+    model_f = build_model("MNIST", cfg_f)
+    tr_f = Trainer(model_f, tc, data)
+    tr_f.params, tr_f.qstate = tr.params, tr.qstate
+    faithful = tr_f.evaluate()
+    # faithful_eval also flips BN to batch stats, so compare against its
+    # own per-batch means computed with its own eval_step
+    exp_loss_f, exp_acc_f, n_f = 0.0, 0.0, 0
+    key_f = jax.random.fold_in(tr_f.base_key, 0xE7A1)
+    for x, y in _bi(*data["test"], 32, shuffle=False,
+                    drop_remainder=False):
+        m = jax.device_get(tr_f.eval_step(tr_f.params, tr_f.qstate,
+                                          x, y, key_f))
+        exp_loss_f += float(m["loss"])
+        exp_acc_f += float(m["accuracy"])
+        n_f += 1
+    assert faithful["loss"] == pytest.approx(exp_loss_f / n_f, rel=1e-6)
+    assert faithful["accuracy"] == pytest.approx(exp_acc_f / n_f, rel=1e-6)
