@@ -106,11 +106,19 @@ def make_dp_train_step(model: Model, tc: TrainConfig, mesh: Mesh,
         return step_fn
 
     def compile_variant(gate: bool):
+        # Manual only over 'data' (the axis the low-bit collective needs
+        # explicit control of); any other mesh axis — 'model' for tensor
+        # parallelism — stays AUTO, so GSPMD partitions the contractions
+        # of tp-sharded weights and inserts the model-axis collectives
+        # inside the per-data-shard body.  TP x lowbit composes: grads of
+        # 'model'-sharded leaves ride their auto sharding through the
+        # data-axis psum/ppermute.
         mapped = jax.shard_map(
             make_step_fn(gate),
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
             out_specs=(P(), P(), P(), P(), P()),
+            axis_names=frozenset({AXIS}),
             check_vma=False,
         )
         return jax.jit(mapped,

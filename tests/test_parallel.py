@@ -401,3 +401,77 @@ def test_ring_lowbit_int8_wire_unbiased():
         acc += np.asarray(mean).reshape(-1)[:32]
     drift = np.abs(acc / T - true_mean).max()
     assert drift < 1e-4, drift
+
+
+@pytest.mark.slow
+def test_tp_lowbit_interaction():
+    """TP x low-bit all-reduce (round-4 VERDICT item 6): the shard_map DP
+    step is manual only over 'data' (axis_names), so a dp4 x tp2 mesh
+    runs the DFXP-int8 error-feedback collective over 'data' while GSPMD
+    partitions the tp-sharded contractions over 'model'.  Must match the
+    dp4 (model=1) lowbit run on the same data split: exponents exactly,
+    params to float tolerance."""
+    cfg = QuantConfig.uniform(8, engine="int8", stochastic=False)
+    def mk():
+        return Model("toy", [
+            Dense("d1", cfg, 20, 256),
+            ReLU(),
+            Dense("d2", cfg, 256, 128),  # 32k elems -> tp-sharded
+            ReLU(),
+            Dense("d3", cfg, 128, 4),
+        ], input_shape=(20,), num_classes=4, cfg=cfg)
+    tc = TrainConfig(lr=0.05, batch_size=32)
+    x, y = _data(32)
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+
+    def run(mesh, tp_shard):
+        model = mk()
+        params, qstate = model.init(jax.random.key(0))
+        vel = momentum_init(params)
+        ebuf = init_error_buffers(params)
+        if tp_shard:
+            sh = to_shardings(mesh, param_pspecs(params))
+            assert any("model" in str(s) for s in jax.tree.leaves(
+                param_pspecs(params),
+                is_leaf=lambda s: isinstance(s, P)))
+            params = jax.device_put(copy(params), sh)
+            vel = jax.device_put(copy(vel), sh)
+            ebuf = jax.device_put(copy(ebuf), sh)
+        step = make_dp_train_step(model, tc, mesh, lowbit_bits=8,
+                                  donate=False)
+        for i in range(3):
+            params, qstate, vel, ebuf, m = step(
+                params, qstate, vel, ebuf, x, y, jnp.int32(i),
+                jnp.float32(0.05), jax.random.key(9))
+        return params, qstate, m
+
+    p1, q1, m1 = run(make_mesh(data=4, model=1,
+                               devices=jax.devices()[:4]), False)
+    p2, q2, m2 = run(make_mesh(data=4, model=2), True)
+
+    for a, b in zip(jax.tree.leaves(q1), jax.tree.leaves(q2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_tp_imagenet_resnet50_shapes():
+    """TP at ImageNet channel widths (round-4 VERDICT item 6): the real
+    ResNet-50 (bottleneck stages to 2048 channels — the widths where
+    param_pspecs actually shards many W leaves over 'model') under
+    GSPMD dp2 x tp4, equivalence vs single device at reduced spatial
+    size/steps (dryrun-grade; a bs128/224 execute is recorded in
+    MULTICHIP_NOTES.md)."""
+    from lbt_tpu.models import imagenet_resnet
+    cfg = QuantConfig.uniform(8, engine="int8", stochastic=False)
+    model = imagenet_resnet(cfg, 50, num_classes=16, image_size=32)
+    pspecs = param_pspecs(model.init(jax.random.key(0))[0])
+    n_tp = sum("model" in str(s) for s in jax.tree.leaves(
+        pspecs, is_leaf=lambda s: isinstance(s, P)))
+    assert n_tp >= 30, f"only {n_tp} tp-sharded leaves"
+    _tp_equiv_check(model, make_mesh(data=2, model=4), n_steps=2,
+                    batch=8, rtol=5e-5, atol=1e-5)
