@@ -36,7 +36,7 @@ _ib = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_ib)
 
 
-def capture(cfg, batch, unroll, outdir):
+def capture(cfg, batch, unroll, outdir, base=0):
     import time
 
     import jax.numpy as jnp
@@ -56,7 +56,10 @@ def capture(cfg, batch, unroll, outdir):
         def body(carry, _):
             params, qstate, velocity, step = carry
             kd = jax.random.fold_in(key, step)
-            x = jax.random.normal(kd, (batch, 224, 224, 3), jnp.float32)
+            # same synthetic input as imagenet_bench.measure (counter
+            # hash, not threefry normal) so the trace matches the bench
+            from lbt_tpu.dfxp.quantize import hash_uniform
+            x = hash_uniform(kd, (batch, 224, 224, 3)) * 2.0 - 1.0
             y = jax.random.randint(
                 jax.random.fold_in(kd, 1), (batch,), 0, 1000, jnp.int32)
             params, qstate, velocity, m = inner(
@@ -71,11 +74,16 @@ def capture(cfg, batch, unroll, outdir):
     st = (params, qstate, velocity)
     lr = jnp.float32(1e-2)
     key = jax.random.key(1)
-    *st, losses = blockj(*st, jnp.int32(0), lr, key)
+    # base=0 profiles the controller-warmup regime (controllers ON every
+    # step); steady-state profiling wants base past
+    # range_update_warmup_steps and NOT ≡ 0 mod range_update_every so the
+    # trace shows the gated-OFF steps a long run mostly consists of
+    # (round-4 catch: the round-3 audit profiled ON steps only).
+    *st, losses = blockj(*st, jnp.int32(base), lr, key)
     float(losses[-1])
     t0 = time.perf_counter()
     with jax.profiler.trace(outdir):
-        *st, losses = blockj(*st, jnp.int32(unroll), lr, key)
+        *st, losses = blockj(*st, jnp.int32(base + unroll), lr, key)
         float(losses[-1])
     dt = time.perf_counter() - t0
     print(f"traced block: {dt * 1e3 / unroll:.2f} ms/step "
@@ -131,11 +139,14 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--unroll", type=int, default=4)
     ap.add_argument("--outdir", default="/tmp/lbt_profile")
+    ap.add_argument("--base", type=int, default=0,
+                    help="starting step (e.g. 100001 = steady state, "
+                         "past controller warmup, off the ru cadence)")
     ap.add_argument("--analyze_only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
         capture(_ib.CONFIGS[args.config], args.batch, args.unroll,
-                args.outdir)
+                args.outdir, base=args.base)
     analyze(args.outdir)
 
 

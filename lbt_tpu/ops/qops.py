@@ -30,6 +30,7 @@ STE means d/dx passes straight through the operand quantizers.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -37,6 +38,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import dtypes, lax
+
+# Round-4 fusion-isolation probe (BENCH_NOTES "HLO emitter audit"): the
+# in-model conv fusions run at ~330-400 GB/s while neighboring loop
+# fusions hit 560-730 — hypothesis: the VPU epilogue/prologue chains XLA
+# fuses into the conv ops serialize with the MXU phase.  Setting
+# LBT_CONV_BARRIER to a comma set of {fwd_in, fwd_out, bwd_in, bwd_out}
+# wraps the corresponding conv operands/results in optimization_barrier
+# so the conv lowers as a standalone fusion and the elementwise work
+# becomes separate (roofline-speed) loop fusions, at the cost of
+# materializing the barrier tensors through HBM.  Measurement knob only;
+# numerically inert.
+_CONV_BARRIER = frozenset(
+    t for t in os.environ.get("LBT_CONV_BARRIER", "").split(",") if t)
+
+
+def _maybe_barrier(x, tag: str):
+    return lax.optimization_barrier(x) if tag in _CONV_BARRIER else x
+
+
+def _barrier_out(y, tag: str):
+    """Output-side barrier.  ``<tag>16`` additionally materializes the
+    boundary at bf16 (2 B/elem instead of f32's 4) — PROBE ONLY: raw
+    integer conv accumulations exceed bf16's 8-bit mantissa, so this
+    perturbs the cotangent at ~0.4% relative, comparable to the 8-bit
+    re-quantization it immediately feeds, but NOT numerically inert."""
+    if tag + "16" in _CONV_BARRIER:
+        return lax.optimization_barrier(
+            y.astype(jnp.bfloat16)).astype(jnp.float32)
+    return _maybe_barrier(y, tag)
 
 from lbt_tpu.dfxp.quantize import (
     multiplier, quantize_int, quantize_ste, wrap_key)
@@ -308,7 +338,11 @@ def _qconv_fwd(
     wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits,
                     backend)
     op_dt, acc_dt = _code_dtype(bits_x, bits_w)
-    y = _conv(xc, wc, strides, pads, op_dt, acc_dt) / (mx * mw)
+    xcb = _maybe_barrier(xc.astype(op_dt), "fwd_in")
+    wcb = _maybe_barrier(wc.astype(op_dt), "fwd_in")
+    y = _barrier_out(
+        _conv(xcb, wcb, strides, pads, op_dt, acc_dt), "fwd_out",
+    ) / (mx * mw)
     return y, (xc, wc, mx, mw, exp_g)
 
 
@@ -339,19 +373,26 @@ def _qconv_bwd(
     # transposed to [kh, kw, Cout, Cin].
     w_flip = jnp.flip(wc, axis=(0, 1)).transpose(0, 1, 3, 2)
     dx_pads = _dx_conv_params(x_hw, k_hw, strides, pads, y_hw)
-    dx = _conv(
-        gc, w_flip, (1, 1), dx_pads, dt_dx[0], dt_dx[1],
-        lhs_dilation=strides,
+    gc_dx = _maybe_barrier(gc.astype(dt_dx[0]), "bwd_in")
+    dx = _barrier_out(
+        _conv(
+            gc_dx, w_flip, (1, 1), dx_pads, dt_dx[0], dt_dx[1],
+            lhs_dilation=strides,
+        ), "bwd_out",
     ) * scale_dx
 
     # dW: contraction of X with g over batch+space.  lhs = X viewed with
     # batch<->feature swapped ('CHWN'), rhs = g as an IHWO kernel dilated
     # by the forward stride, out = dW in HWNC layout (= [kh,kw,Cin,Cout]).
     dw_pads = _dw_conv_params(x_hw, k_hw, strides, pads, y_hw)
-    dw = _conv(
-        xc, gc, (1, 1), dw_pads, dt_dw[0], dt_dw[1],
-        rhs_dilation=strides, dn=("CHWN", "IHWO", "HWNC"),
-    ) * scale_dw
+    gc_dw = (gc_dx if dt_dw[0] == dt_dx[0]
+             else _maybe_barrier(gc.astype(dt_dw[0]), "bwd_in"))
+    dw = _maybe_barrier(
+        _conv(
+            xc, gc_dw, (1, 1), dw_pads, dt_dw[0], dt_dw[1],
+            rhs_dilation=strides, dn=("CHWN", "IHWO", "HWNC"),
+        ), "bwd_out",
+    ) * scale_dw  # dW is tiny ([kh,kw,Cin,Cout]); plain f32 barrier
 
     z = _float0(exp_g)
     k0 = np.zeros((2,), dtypes.float0)
