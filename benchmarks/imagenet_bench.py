@@ -168,6 +168,13 @@ CONFIGS = {
         QuantConfig.uniform(8, engine="int8", noise_mode="hash1"),
         fused_bn=True, conv_act_extra=0, range_update_every=8,
         act_dtype="bf16"),
+    # + MLPerf space-to-depth stem (round-4: the Cin=3 7x7 stem measured
+    # 72-126 GB/s in the steady-state fusion audit — the slowest ops in
+    # the step; s2d reshapes to a 4x4/s1 Cin=12 conv, same taps)
+    "int8-a8-ru8-bf16c-h1-s2d": dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash1"),
+        fused_bn=True, conv_act_extra=0, range_update_every=8,
+        act_dtype="bf16", stem_s2d=True),
     # shared noise + q16 BN residuals combined (headline candidates)
     "int8-fbn-ru8-bf16c-shn-q16": dataclasses.replace(
         QuantConfig.uniform(8, engine="int8", noise_mode="hash"),

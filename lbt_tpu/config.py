@@ -153,6 +153,21 @@ class QuantConfig:
     # quantization itself still runs every step at the last exponents.
     # Divergence from reference cadence; 1 (default) = faithful.
     range_update_every: int = 1
+    # Space-to-depth ImageNet stem (the MLPerf ResNet trick): replace the
+    # 7x7/stride-2 Cin=3 stem conv with a 2x2 space-to-depth rearrange
+    # followed by a 4x4/stride-1 Cin=12 conv.  The round-4 steady-state
+    # fusion audit (benchmarks/fusion_audit.py) measured the Cin=3 stem
+    # as the single slowest op cluster of the ResNet-50 step: conv1
+    # forward at 126 GB/s and its dW contraction at 72 GB/s (vs 500-800
+    # for healthy fusions) — 3 input channels leave the MXU/sublane
+    # packing mostly empty.  The s2d kernel spans the same input taps
+    # (every original 7x7 tap (o_h, o_w) maps to s2d tap
+    # (floor(o_h/2) + parity channel), see tests/test_layers.py
+    # exactness test); trained unconstrained it is a slight superset of
+    # the original function class (4*4*12=192 slots vs 147 taps), the
+    # standard MLPerf formulation.  Architecture divergence from the
+    # reference-style stem; off by default.
+    stem_s2d: bool = False
     # With range_update_every > 1, still run the controllers EVERY step
     # for the first N steps: the cold-start exponents (initial_exponent
     # everywhere) are far from their operating points and DFXP-8 training

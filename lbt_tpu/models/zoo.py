@@ -22,6 +22,7 @@ from lbt_tpu.nn.layers import (
     GradientBuffer,
     MaxPool,
     ReLU,
+    SpaceToDepth,
 )
 from lbt_tpu.nn.model import Model
 from lbt_tpu.nn.norm import BatchNorm
@@ -207,9 +208,26 @@ def imagenet_resnet(cfg: QuantConfig, depth: int = 50,
     (dynamic_fixed_point.py:878-980) without ever instantiating it."""
     del dropout_keep  # ResNets use no dropout; accepted for CLI symmetry
     block_cls, stage_sizes = _IMAGENET_STAGES[depth]
-    layers = [
-        Conv2d("conv1", cfg, (7, 7, 3, 64), (2, 2), "SAME",
-               use_bias=False, weight_decay=weight_decay),
+    if getattr(cfg, "stem_s2d", False):
+        # MLPerf space-to-depth stem (QuantConfig.stem_s2d): 2x2 s2d then
+        # 4x4/s1 conv over 12 channels — same output as the 7x7/s2 Cin=3
+        # conv (whose taps embed exactly, tests/test_layers.py) but with
+        # MXU-fillable operands; the Cin=3 stem measured 72-126 GB/s in
+        # the round-4 fusion audit.  Explicit (2,1) padding matches the
+        # embedded 7x7 SAME window (SAME at k7/s2/224 pads (2,3); tap
+        # offsets k-2 in [-2,4] embed to s2d taps [-1,2] -> pads (1,2)).
+        stem = [
+            SpaceToDepth(block=2),
+            Conv2d("conv1", cfg, (4, 4, 12, 64), (1, 1),
+                   ((1, 2), (1, 2)), use_bias=False,
+                   weight_decay=weight_decay),
+        ]
+    else:
+        stem = [
+            Conv2d("conv1", cfg, (7, 7, 3, 64), (2, 2), "SAME",
+                   use_bias=False, weight_decay=weight_decay),
+        ]
+    layers = stem + [
         BatchNorm("conv1-bn", cfg, 64, weight_decay=weight_decay),
         ReLU(),
         MaxPool(ksize=(3, 3), strides=(2, 2), padding="SAME"),

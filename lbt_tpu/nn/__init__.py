@@ -10,6 +10,7 @@ from lbt_tpu.nn.layers import (  # noqa: F401
     GradientBuffer,
     MaxPool,
     ReLU,
+    SpaceToDepth,
 )
 from lbt_tpu.nn.norm import (  # noqa: F401
     BatchNorm, FusedBatchNorm, Normalization, Rescale)

@@ -333,6 +333,31 @@ class Flatten(Layer):
         return "flatten"
 
 
+class SpaceToDepth(Layer):
+    """NHWC block-rearrange: [B,H,W,C] -> [B,H/b,W/b,b*b*C], output
+    channel order (ph, pw, c) phase-major.  Stateless, exact, autodiff
+    through reshape/transpose.  Used by the s2d ImageNet stem
+    (QuantConfig.stem_s2d): tap (oh, ow) of a stride-2 conv on the
+    original image becomes tap (oh//2, ow//2) at phase channel
+    (oh%2, ow%2) here, so a 7x7/s2 conv embeds exactly into a 4x4/s1
+    conv on this layer's output (tests/test_layers.py)."""
+
+    def __init__(self, name: str = "", *, block: int = 2):
+        super().__init__(name)
+        self.block = int(block)
+
+    def apply(self, params, qstate, sinks, x, ctx):
+        b = self.block
+        n, h, w, c = x.shape
+        assert h % b == 0 and w % b == 0, (x.shape, b)
+        y = x.reshape(n, h // b, b, w // b, b, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(n, h // b, w // b, b * b * c), qstate
+
+    def info(self):
+        return f"space_to_depth block {self.block}"
+
+
 # ---------------------------------------------------------------------------
 # Error-feedback gradient buffer
 # ---------------------------------------------------------------------------

@@ -296,3 +296,76 @@ def test_fused_batchnorm_trains():
             jax.random.key(1))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.6, losses[::10]
+
+
+def test_space_to_depth_embeds_stride2_conv():
+    """The s2d stem (QuantConfig.stem_s2d) is exact as a function-class
+    embedding: any 7x7/stride-2 SAME conv on [B,224,224,3] equals a
+    4x4/stride-1 conv with pads (1,2) on the 2x2 space-to-depth
+    rearrange, with kernel w2[jh+1, jw+1, (ph*2+pw)*3+c, o] =
+    w[2*jh+ph+2, 2*jw+pw+2, c, o] (tap offset k-2 = 2*j'+p)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from lbt_tpu.config import QuantConfig
+    from lbt_tpu.nn.layers import SpaceToDepth
+    from lbt_tpu.nn.core import Ctx
+
+    rng = np.random.default_rng(0)
+    H = 16  # any even size; SAME k7 s2 pads (2,3) like 224
+    x = jnp.asarray(rng.normal(0, 1, (2, H, H, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 1, (7, 7, 3, 5)).astype(np.float32))
+
+    y_ref = lax.conv_general_dilated(
+        x, w, (2, 2), [(2, 3), (2, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    s2d = SpaceToDepth(block=2)
+    x2, _ = s2d.apply({}, {}, None, x, Ctx(train=False))
+    assert x2.shape == (2, H // 2, H // 2, 12)
+
+    # embed the 7x7 kernel: offset o = k - 2 = 2*j' + p, j' in [-1,2]
+    w2 = np.zeros((4, 4, 12, 5), np.float32)
+    for kh in range(7):
+        for kw in range(7):
+            jh, ph = divmod(kh - 2, 2)
+            jw, pw = divmod(kw - 2, 2)
+            w2[jh + 1, jw + 1, (ph * 2 + pw) * 3:(ph * 2 + pw) * 3 + 3]\
+                = np.asarray(w[kh, kw])
+    y_s2d = lax.conv_general_dilated(
+        x2, jnp.asarray(w2), (1, 1), [(1, 2), (1, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y_s2d.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stem_s2d_model_builds_and_steps():
+    """imagenet_resnet with stem_s2d trains a step and matches the
+    conv7 stem's output geometry."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbt_tpu.config import QuantConfig, TrainConfig
+    from lbt_tpu.models import imagenet_resnet
+    from lbt_tpu.train.optim import momentum_init
+    from lbt_tpu.train.step import make_train_step
+
+    cfg = dataclasses.replace(
+        QuantConfig.uniform(8, engine="int8", noise_mode="hash"),
+        fused_bn=True, conv_act_extra=0, stem_s2d=True)
+    model = imagenet_resnet(cfg, 50, num_classes=10, image_size=32)
+    params, qstate = model.init(jax.random.key(0))
+    assert params["conv1"]["W"].shape == (4, 4, 12, 64)
+    vel = momentum_init(params)
+    step = make_train_step(model, TrainConfig(batch_size=4))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (4, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(np.array([0, 1, 2, 3], np.int32))
+    _, _, _, m = step(params, qstate, vel, x, y, 0, jnp.float32(0.01),
+                      jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
