@@ -116,3 +116,36 @@ def test_qmatmul_pallas_aligned_shapes():
         float(mx) * float(mw))
     np.testing.assert_allclose(np.asarray(y), np.asarray(want),
                                rtol=1e-6, atol=1e-5)
+
+
+def test_conv1x1_fused_matches_reference():
+    """conv1x1_fused_int8 (round-4 matmul-shaped stage-1 kernel) vs the
+    XLA unit: codes, BN moments and controller min/max must agree
+    exactly on the deterministic path (incl. a padded tail M-tile)."""
+    from jax import lax
+
+    from lbt_tpu.ops.pallas.conv1x1_kernels import conv1x1_fused_int8
+
+    inv, mult = 1.0 / 1024.0, 64.0
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.integers(-8, 8, (4, 9, 9, 64)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-2, 3, (64, 256)).astype(np.int8))
+
+    y = lax.conv_general_dilated(
+        xq, wq.reshape(1, 1, 64, 256), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * inv
+    q_ref = jnp.clip(jnp.round(y * mult), -127.0, 127.0)
+    mom_ref = jnp.stack([q_ref.sum(axis=(0, 1, 2)),
+                         (q_ref * q_ref).sum(axis=(0, 1, 2))])
+    mm_ref = jnp.stack([y.min(), y.max()])
+
+    yq, mom, mm = conv1x1_fused_int8(
+        xq, wq, jnp.float32(inv), jnp.float32(mult), jnp.int32(3),
+        stochastic=False, tile_m=128)  # 324 rows -> ragged last tile
+    np.testing.assert_array_equal(np.asarray(yq),
+                                  np.asarray(q_ref).astype(np.int8))
+    np.testing.assert_allclose(np.asarray(mom), np.asarray(mom_ref),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(mm_ref),
+                               rtol=1e-6)
