@@ -101,7 +101,7 @@ def conv1x1_fused_int8(
     *,
     bits_out: int = 8,
     stochastic: bool = True,
-    tile_m: int = 1024,
+    tile_m: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused 1x1 stride-1 conv + DFXP epilogue on int8 codes.
 
@@ -121,6 +121,13 @@ def conv1x1_fused_int8(
     k = wq.shape[1]
 
     m = b * h * w
+    if tile_m <= 0:
+        # Largest VMEM-fitting M tile: the f32 intermediates (acc, y,
+        # noise, codes) cost ~16 B per (row, K) element, so cap
+        # tile_m * k at 2^21 elements (~32 MB of f32 working set; the
+        # TPU-measured sweep put tile_m=8192 at k=256 1.3x faster than
+        # 1024-2048, and 16384 over the VMEM budget).
+        tile_m = max(1024, (1 << 21) // max(k, 1))
     tm = min(tile_m, _round_up(m, 8))
     mp = _round_up(m, tm)
     xf = xq.reshape(m, c)
