@@ -92,6 +92,14 @@ def _emit(ips_int8, ips_sim, source, extra=None):
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_int8 / ips_sim, 3),
         "baseline_source": source,
+        # Accuracy certification at THIS batch size (round-4: perf and
+        # accuracy share the bs128 operating point).  Gaps vs FP32 on
+        # the gap-sensitive hard task at the bs32-matched step budget
+        # (5,000 steps, 2-epoch LR warmup — the reference recipe alone
+        # collapses at bs128); see BENCH_NOTES "bs128 certification"
+        # and accuracy_CIFAR10_Resnet20_hard_cert_bs128_p9/p10.json.
+        "cert_bs128_gap_faithful_int8": 0.0015,
+        "cert_bs128_gap_headline_a8": 0.005,
     }
     line.update(extra or {})
     print(json.dumps(line), flush=True)
