@@ -99,7 +99,7 @@ def _emit(ips_int8, ips_sim, source, extra=None):
         # collapses at bs128); see BENCH_NOTES "bs128 certification"
         # and accuracy_CIFAR10_Resnet20_hard_cert_bs128_p9/p10.json.
         "cert_bs128_gap_faithful_int8": 0.0015,
-        "cert_bs128_gap_headline_a8": 0.005,
+        "cert_bs128_gap_headline_a8": 0.0015,  # 96-ep horizon (p11); 0.005 at 64 ep
     }
     line.update(extra or {})
     print(json.dumps(line), flush=True)
