@@ -85,6 +85,63 @@ def _measure(cfg):
     return BATCH / dt
 
 
+# Certification artifacts (round-4 bs128 campaign; BENCH_NOTES "bs128
+# certification").  p9 holds the FP32 control + faithful-int8 arm; the
+# headline (lean-a8) arm lives in the seed files written by
+# benchmarks/cert_seeds.py (p11 = seed 0).  Gaps are DERIVED from these
+# at emit time and voided if the recorded run config no longer matches
+# the headline QuantConfig (advisor round 4: hardcoded constants go
+# silently stale).
+_CERT_BASE = os.path.join(
+    _HERE, "benchmarks", "accuracy_CIFAR10_Resnet20_hard_cert_bs128_p9.json")
+_CERT_HEADLINE = os.path.join(
+    _HERE, "benchmarks", "accuracy_CIFAR10_Resnet20_hard_cert_bs128_p11.json")
+
+
+def _cert_gaps(headline_cfg):
+    """Read the recorded bs128 certification gaps vs FP32.
+
+    Returns emit fields only when the artifacts exist AND the headline
+    arm's recorded knobs match the current headline config (otherwise
+    the certification no longer covers the benched operating point and
+    the fields are replaced by an explicit staleness marker).
+    """
+    out = {}
+    try:
+        with open(_CERT_BASE) as f:
+            base = json.load(f)
+        runs = {r.get("config"): r for r in base["runs"]}
+        fp32 = float(runs["bits32"]["curve"][-1]["accuracy"])
+        faithful = float(runs["bits8"]["curve"][-1]["accuracy"])
+        if int(base["recipe"]["batch_size"]) == BATCH:
+            out["cert_bs128_gap_faithful_int8"] = round(fp32 - faithful, 4)
+        with open(_CERT_HEADLINE) as f:
+            head = json.load(f)
+        run = head["runs"][0]
+        matches = (
+            int(run.get("bits", -1)) == 8
+            and run.get("engine") == headline_cfg.engine
+            and run.get("noise_mode") == headline_cfg.noise_mode
+            and bool(run.get("fused_bn")) == bool(headline_cfg.fused_bn)
+            and int(run.get("range_update_every", -1))
+            == int(headline_cfg.range_update_every)
+            and run.get("act_dtype") == headline_cfg.act_dtype
+            and int(run.get("conv_act_extra", -1))
+            == int(headline_cfg.conv_act_extra)
+            and int(head["recipe"]["batch_size"]) == BATCH)
+        if matches:
+            out["cert_bs128_gap_headline_a8"] = round(
+                fp32 - float(run["curve"][-1]["accuracy"]), 4)
+        else:
+            out["cert_headline_config_match"] = False
+    except Exception:
+        out["cert_artifacts"] = "unavailable"
+    return out
+
+
+_CERT_FIELDS = {}
+
+
 def _emit(ips_int8, ips_sim, source, extra=None):
     line = {
         "metric": "resnet50_imagenet224_dfp_int8_train_throughput",
@@ -92,15 +149,8 @@ def _emit(ips_int8, ips_sim, source, extra=None):
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_int8 / ips_sim, 3),
         "baseline_source": source,
-        # Accuracy certification at THIS batch size (round-4: perf and
-        # accuracy share the bs128 operating point).  Gaps vs FP32 on
-        # the gap-sensitive hard task at the bs32-matched step budget
-        # (5,000 steps, 2-epoch LR warmup — the reference recipe alone
-        # collapses at bs128); see BENCH_NOTES "bs128 certification"
-        # and accuracy_CIFAR10_Resnet20_hard_cert_bs128_p9/p10.json.
-        "cert_bs128_gap_faithful_int8": 0.0015,
-        "cert_bs128_gap_headline_a8": 0.0015,  # 96-ep horizon (p11); 0.005 at 64 ep
     }
+    line.update(_CERT_FIELDS)
     line.update(extra or {})
     print(json.dumps(line), flush=True)
 
@@ -150,6 +200,7 @@ def main():
         fused_bn=True, range_update_every=8, act_dtype="bf16",
         conv_act_extra=0)
     baseline = QuantConfig.uniform(8, engine="sim_bf16", noise_mode="prng")
+    _CERT_FIELDS.update(_cert_gaps(headline))
 
     try:
         with open(_BASELINE_CACHE) as f:

@@ -269,6 +269,11 @@ class TrainConfig:
     # axis; low-bit all-reduce quantizes gradients to int8 with a shared
     # exponent (+ error feedback) before the psum.
     data_parallel: bool = False
+    # Mesh 'model'-axis size: shard large weight output channels over
+    # this many devices (GSPMD tensor parallelism; parallel/mesh.py
+    # param_pspecs).  1 = pure DP.  Requires data_parallel; the 'data'
+    # axis gets len(jax.devices()) // tensor_parallel shards.
+    tensor_parallel: int = 1
     lowbit_allreduce: bool = False
     # Wire transport for the low-bit all-reduce: None = XLA psum of the
     # codes (int16 when the exact sum fits); 'int16'/'int8' = explicit

@@ -69,11 +69,16 @@ def _conv1x1_kernel(scal_ref, seed_ref, x_ref, w_ref, yq_ref, mom_ref,
     valid = rows < m_valid
 
     if stochastic:
-        u = (pltpu.prng_random_bits((tm, k)) >> 8).astype(
-            jnp.float32) * _INV24
+        # bitcast to uint32 before the shift: prng_random_bits returns
+        # signed int32 and an arithmetic >>8 would leave u in [-0.5,0.5)
+        # (a -0.5 LSB bias); the logical shift keeps u in [0,1).
+        r = pltpu.bitcast(pltpu.prng_random_bits((tm, k)), jnp.uint32)
+        u = pltpu.bitcast(r >> 8, jnp.int32).astype(jnp.float32) * _INV24
         q = jnp.floor(jnp.clip(y * mult_out + u, -limit, limit - 1.0))
     else:
-        q = jnp.clip(jnp.round(y * mult_out), -(limit - 1.0), limit - 1.0)
+        # round(clip(.)) with -limit rail: codes saturate at -2^(b-1),
+        # matching quantize_int (dfxp/quantize.py) and the 3x3 kernel.
+        q = jnp.round(jnp.clip(y * mult_out, -limit, limit - 1.0))
     q = jnp.where(valid, q, 0.0)
     yq_ref[...] = q.astype(jnp.int8)
 

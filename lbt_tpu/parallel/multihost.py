@@ -21,6 +21,7 @@ import os
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -49,3 +50,25 @@ def host_batch_slice(global_batch: int) -> Tuple[int, int]:
     assert global_batch % n_proc == 0, (global_batch, n_proc)
     per = global_batch // n_proc
     return jax.process_index() * per, per
+
+
+def globalize_batches(iterator, sharding):
+    """Turn an iterator of identical host-side GLOBAL (x, y) batches into
+    global device arrays sharded over the mesh 'data' axis.
+
+    Each process keeps only its :func:`host_batch_slice` rows and builds
+    the cross-process array with
+    ``jax.make_array_from_process_local_data`` — the multi-controller
+    feed contract (every process sees the same global batch because the
+    batch iterators are seeded identically; the slice assignment matches
+    the 'data'-major device order of parallel/mesh.make_mesh).  Works
+    unchanged (and degenerates to a sharded device_put) in a
+    single-process run.
+    """
+    for x, y in iterator:
+        start, size = host_batch_slice(x.shape[0])
+        xg = jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(x[start:start + size]))
+        yg = jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(y[start:start + size]))
+        yield xg, yg

