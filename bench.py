@@ -96,6 +96,9 @@ _CERT_BASE = os.path.join(
     _HERE, "benchmarks", "accuracy_CIFAR10_Resnet20_hard_cert_bs128_p9.json")
 _CERT_HEADLINE = os.path.join(
     _HERE, "benchmarks", "accuracy_CIFAR10_Resnet20_hard_cert_bs128_p11.json")
+# Faithful-quantization-sites throughput, recorded (not re-measured per
+# run — BENCH_NOTES round 5 "faithful-config 3x question settled").
+_FAITHFUL_REC = os.path.join(_HERE, "benchmarks", "faithful_r05.json")
 
 
 def _cert_gaps(headline_cfg):
@@ -136,6 +139,15 @@ def _cert_gaps(headline_cfg):
             out["cert_headline_config_match"] = False
     except Exception:
         out["cert_artifacts"] = "unavailable"
+    try:
+        with open(_FAITHFUL_REC) as f:
+            rec = json.load(f)
+        if (int(rec.get("batch", -1)) == BATCH
+                and int(rec.get("unroll", -1)) == UNROLL):
+            out["faithful_vs_baseline_recorded"] = float(
+                rec["vs_baseline"])
+    except Exception:
+        pass
     return out
 
 

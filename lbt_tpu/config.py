@@ -145,6 +145,22 @@ class QuantConfig:
     # (full recompute saves strictly less than the selective policy).
     # Off by default.
     bn_residual_q16: bool = False
+    # Run the faithful 9-bit conv-activation forward contraction as two
+    # exact int8 convolutions (codes c = 2h + l, h int8, l in {0,1};
+    # ops/qops.py _conv_fwd_9split) instead of one bf16 conv.  Pure
+    # implementation choice — bit-identical output (tested).  RECORDED
+    # NEGATIVE at ResNet-50/224 (round 5): the isolated contraction wins
+    # ~1.2x at stage-1/2 shapes (XLA's int8 conv emitters reach 250-370
+    # TOP/s vs bf16's 100-175, beating the 2x FLOP penalty;
+    # benchmarks/split9_probe.py) but IN-MODEL the h/l plane derivation
+    # is an extra elementwise pass between the quantize fusion and the
+    # conv (~4 B/elem extra HBM traffic per conv input) and the full
+    # step measures 0.86x (1,131 vs 1,319 img/s faithful).  Recovering
+    # the win needs the quantizer to emit the planes directly (a Pallas
+    # producer) — not worth the surgery for a <=8% ceiling while dW
+    # stays bf16.  Off by default; kept as the measured answer to the
+    # "int8 MXU path for bits+1 codes" question (VERDICT round-4 #3).
+    conv9_split: bool = False
     # Run the range controllers every K-th step instead of every step
     # (reference runs them per step, trainer.py:157).  The overflow
     # reductions behind the controllers are a large share of step device

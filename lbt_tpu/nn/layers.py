@@ -200,7 +200,7 @@ class Conv2d(Layer):
             exp.get("x", _E0), exp.get("w", _E0), exp.get("grad", _E0),
             strides=self.strides, padding=self.padding,
             bits_x=bits_x, bits_w=cfg.bits_w, bits_g=cfg.bits_g,
-            engine=cfg.engine,
+            engine=cfg.engine, split9=cfg.conv9_split,
             key_x=ctx.layer_key(self.uid, _SITE_X),
             key_w=ctx.layer_key(self.uid, _SITE_W),
             **kw,

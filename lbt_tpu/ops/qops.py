@@ -314,29 +314,62 @@ def _dw_conv_params(x_hw, k_hw, strides, pads, y_hw):
     return tuple(new_pads)
 
 
-_QCV_STATIC = (2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+_QCV_STATIC = (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+
+
+def _conv_fwd_9split(xc, wc, strides, pads):
+    """Forward conv of 9-bit activation codes on the int8 MXU.
+
+    c in [-256, 255] splits exactly as c = 2h + l with h = floor(c/2)
+    in int8 and l in {0, 1}, so conv(c, w) = 2 conv(h, w) + conv(l, w)
+    — two int8 x int8 -> int32 contractions, exact by construction
+    (VERDICT round-4 #3; benchmarks/split9_probe.py: XLA's bf16 conv
+    emitters reach only ~100-175 TOP/s at the ResNet-50 shapes while
+    the int8 emitters reach 250-370, so the doubled int8 FLOPs still
+    win ~1.2x at stage-1/2 shapes).  Only the forward conv is split:
+    dx is already pure int8, and the dW emitters measured int8-hostile
+    (BENCH_NOTES round-3 audit), so dW stays on the bf16 path.
+    """
+    cf = xc.astype(jnp.float32)
+    h = jnp.floor(cf * 0.5)
+    l = cf - 2.0 * h
+    h8 = h.astype(jnp.int8)
+    l8 = l.astype(jnp.int8)
+    w8 = wc.astype(jnp.int8)
+    a = lax.conv_general_dilated(
+        h8, w8, strides, pads, dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.int32)
+    b = lax.conv_general_dilated(
+        l8, w8, strides, pads, dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.int32)
+    return (2 * a + b).astype(jnp.float32)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=_QCV_STATIC)
 def _qconv_int(
     x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
+    grad_on_grid, noise_bits, backend, split9, exp_x, exp_w, exp_g, kx, kw,
 ):
     y, _ = _qconv_fwd(
         x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-        grad_on_grid, noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
+        grad_on_grid, noise_bits, backend, split9, exp_x, exp_w, exp_g,
+        kx, kw,
     )
     return y
 
 
 def _qconv_fwd(
     x, w, strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, noise_bits, backend, exp_x, exp_w, exp_g, kx, kw,
+    grad_on_grid, noise_bits, backend, split9, exp_x, exp_w, exp_g,
+    kx, kw,
 ):
     xc, mx = _codes(x, bits_x, exp_x, kx, stochastic, shared, noise_bits,
                     backend)
     wc, mw = _codes(w, bits_w, exp_w, kw, stochastic, shared, noise_bits,
                     backend)
+    if split9 and bits_x == 9 and bits_w <= 8:
+        y = _conv_fwd_9split(xc, wc, strides, pads) / (mx * mw)
+        return y, (xc, wc, mx, mw, exp_g)
     op_dt, acc_dt = _code_dtype(bits_x, bits_w)
     xcb = _maybe_barrier(xc.astype(op_dt), "fwd_in")
     wcb = _maybe_barrier(wc.astype(op_dt), "fwd_in")
@@ -348,7 +381,7 @@ def _qconv_fwd(
 
 def _qconv_bwd(
     strides, pads, bits_x, bits_w, bits_g, stochastic, shared,
-    grad_on_grid, noise_bits, backend, res, g,
+    grad_on_grid, noise_bits, backend, split9, res, g,
 ):
     xc, wc, mx, mw, exp_g = res
     x_hw = xc.shape[1:3]
@@ -419,12 +452,16 @@ def qconv2d(
     noise_shared_axis0: bool = False,
     noise_bits: int = 24,
     backend: str = "xla",
+    split9: bool = False,
     key_x: Optional[jax.Array] = None,
     key_w: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Quantized 2-d convolution, NHWC activations x HWIO weights.
 
-    Same engine contract as :func:`qmatmul`.
+    Same engine contract as :func:`qmatmul`.  ``split9``: run the
+    forward contraction of 9-bit activation codes as two exact int8
+    convolutions (see :func:`_conv_fwd_9split`); no-op unless
+    ``bits_x == 9`` and ``bits_w <= 8``.
     """
     strides = tuple(strides)
     pads = conv_pads(padding, x.shape[1:3], w.shape[0:2], strides)
@@ -456,6 +493,6 @@ def qconv2d(
     grad_on_grid = bits_g < 32 and _code_dtype(bits_g, bits_w) is not None
     return _qconv_int(
         x, w, strides, pads, bits_x, bits_w, bits_g, stochastic,
-        noise_shared_axis0, grad_on_grid, noise_bits, backend,
+        noise_shared_axis0, grad_on_grid, noise_bits, backend, split9,
         exp_x, exp_w, exp_g, _keydata(key_x), _keydata(key_w),
     )

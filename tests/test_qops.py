@@ -73,6 +73,38 @@ def test_qconv_fwd_bwd_matches_sim(padding, stride, bits_x):
     np.testing.assert_array_equal(np.asarray(dw_s), np.asarray(dw_i))
 
 
+@pytest.mark.parametrize("padding,stride", [
+    ("SAME", 1), ("SAME", 2), ("VALID", 1),
+])
+def test_qconv_split9_matches_sim(padding, stride):
+    """conv9_split (two exact int8 convs of 2h+l split codes,
+    ops/qops.py _conv_fwd_9split) must stay bit-identical to the sim
+    engine — forward and both backward contractions — including inputs
+    that drive codes to the +/-256 rails."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 3.0, (4, 11, 11, 5)).astype(np.float32)
+    w = rng.normal(0, 0.4, (3, 3, 5, 7)).astype(np.float32)
+
+    def run(engine, split9):
+        def f(x, w, sink):
+            y = qconv2d(
+                x, w, E(2), E(1), E(2),
+                strides=(stride, stride), padding=padding,
+                bits_x=9, bits_w=8, bits_g=8, engine=engine,
+                split9=split9,
+            )
+            return _loss_through_barrier(y, sink)
+
+        loss, grads = jax.value_and_grad(f, argnums=(0, 1))(x, w, make_sink())
+        return loss, grads
+
+    l_sim, (dx_s, dw_s) = run("sim", False)
+    l_spl, (dx_p, dw_p) = run("int8", True)
+    np.testing.assert_array_equal(np.asarray(l_sim), np.asarray(l_spl))
+    np.testing.assert_array_equal(np.asarray(dx_s), np.asarray(dx_p))
+    np.testing.assert_array_equal(np.asarray(dw_s), np.asarray(dw_p))
+
+
 def test_qconv_transpose_math_vs_autodiff():
     """The hand-built dilated-conv backward must equal autodiff of the
     plain float conv for arbitrary stride/padding combinations."""
