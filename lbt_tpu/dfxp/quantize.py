@@ -117,33 +117,20 @@ def _noise(key: jax.Array, shape, shared_axis0: bool,
            light: bool = False) -> jax.Array:
     """Uniform [0,1) rounding noise.
 
-    ``noise_bits=24``: float32-grade noise via jax.random.uniform (the
-    reference's tf.random_uniform equivalent).  ``noise_bits=8``: four
-    8-bit noise samples are unpacked from each 32-bit threefry word,
-    quartering the PRNG cost; granularity 1/256 bounds the rounding-
-    probability bias by 2^-9 of one quantization step — negligible
-    against the quantizer's own 8-bit resolution, and a large win since
-    noise generation dominates stochastic DFXP step time.
-    ``fast=True``: counter-hash noise (see :func:`_hash_uniform`);
-    ``light=True`` selects its cheaper single-round variant.
+    Float32-grade noise via jax.random.uniform (the reference's
+    tf.random_uniform equivalent).  ``fast=True``: counter-hash noise
+    (see :func:`_hash_uniform`); ``light=True`` selects its cheaper
+    single-round variant.  (A former ``noise_bits=8`` packed-byte path
+    was removed in round 5 — a documented negative on TPU, where the
+    unpack's relayouts cost more than the threefry it saved.)
     """
+    assert noise_bits >= 16, "packed sub-16-bit noise was removed (round 5)"
     if shared_axis0 and len(shape) >= 1:
         u = _noise(key, tuple(shape[1:]), False, noise_bits, fast, light)
         return jnp.broadcast_to(u, shape)
     if fast:
         return _hash_uniform(key, shape, light)
-    if noise_bits >= 16:
-        return jax.random.uniform(key, shape, jnp.float32)
-    n = 1
-    for d in shape:
-        n *= d
-    n_words = -(-n // 4)
-    words = jax.random.bits(key, (n_words,), jnp.uint32)
-    # unpack 4 bytes per word -> (n_words, 4) uint8-valued int32
-    shifts = jnp.array([0, 8, 16, 24], jnp.uint32)
-    bytes_ = ((words[:, None] >> shifts[None, :]) & jnp.uint32(0xFF))
-    u = bytes_.astype(jnp.float32) * jnp.float32(1.0 / 256.0)
-    return u.reshape(-1)[:n].reshape(shape)
+    return jax.random.uniform(key, shape, jnp.float32)
 
 
 def code_dtype(bits: int):

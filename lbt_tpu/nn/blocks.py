@@ -97,7 +97,10 @@ class ResidualBlock(Layer):
             params["shortcut"], qstate["shortcut"],
             sinks.get("shortcut", {}), x, ctx,
         )
-        y = jnp.maximum(y1 + y2, 0.0)
+        # where(s > 0, ...) not maximum: match the reference tf.maximum
+        # tie rule (zero cotangent at exact 0 — see nn/layers.py ReLU)
+        s = y1 + y2
+        y = jnp.where(s > 0, s, jnp.zeros((), s.dtype))
         return y, {"residual": q1, "shortcut": q2}
 
     def absorb_sinks(self, qstate, sink_cots):

@@ -236,10 +236,19 @@ class Conv2d(Layer):
 
 class ReLU(Layer):
     """max(0, x); cotangent flows through unquantized (reference
-    dynamic_fixed_point.py:983-990 inherits the default backward)."""
+    dynamic_fixed_point.py:983-990 inherits the default backward).
+
+    Implemented as ``where(x > 0, x, 0)`` rather than ``maximum``: the
+    reference's ``tf.maximum(0.0, X)`` routes ZERO cotangent to inputs
+    exactly at 0 (TF MaximumGrad first-arg-wins tie rule), whereas
+    ``jnp.maximum`` splits ties 0.5/0.5 — and exact zeros are COMMON on
+    quantized grids (e.g. BN rescale output is Xq*gq+bq with beta init
+    0), so the tie rule is load-bearing for bitwise parity with the
+    reference semantics (caught by the round-5 NumPy model oracle,
+    tests/test_model_oracle.py)."""
 
     def apply(self, params, qstate, sinks, x, ctx):
-        return jnp.maximum(x, 0.0), qstate
+        return jnp.where(x > 0, x, jnp.zeros((), x.dtype)), qstate
 
     def info(self):
         return "relu"
