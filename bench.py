@@ -99,16 +99,60 @@ _CERT_HEADLINE = os.path.join(
 # Faithful-quantization-sites throughput, recorded (not re-measured per
 # run — BENCH_NOTES round 5 "faithful-config 3x question settled").
 _FAITHFUL_REC = os.path.join(_HERE, "benchmarks", "faithful_r05.json")
+# Roofline fractions of the headline step, recorded from the round-5
+# steady-state fusion audit (benchmarks/roofline.py).
+_ROOFLINE_REC = os.path.join(_HERE, "benchmarks", "roofline_r05.json")
+
+
+_CERT_SEEDS = os.path.join(_HERE, "benchmarks", "cert_bs128_seeds.json")
+
+
+def _cert_gaps_banded(headline_cfg):
+    """Seed-banded gaps from the round-5 campaign (preferred source).
+
+    Returns None when the artifact is missing or its recorded headline
+    knobs no longer match the benched config."""
+    try:
+        with open(_CERT_SEEDS) as f:
+            d = json.load(f)
+        hc = d["headline_config"]
+        if not (int(hc.get("bits", -1)) == 8
+                and hc.get("engine") == headline_cfg.engine
+                and hc.get("noise_mode") == headline_cfg.noise_mode
+                and bool(hc.get("fused_bn")) == bool(headline_cfg.fused_bn)
+                and int(hc.get("range_update_every", -1))
+                == int(headline_cfg.range_update_every)
+                and hc.get("act_dtype") == headline_cfg.act_dtype
+                and int(hc.get("conv_act_extra", -1))
+                == int(headline_cfg.conv_act_extra)
+                and int(d["recipe"]["batch_size"]) == BATCH):
+            return None
+        return {
+            "cert_bs128_gap_faithful_int8": d["gap_faithful_int8"]["mean"],
+            "cert_bs128_gap_headline_a8": d["gap_headline_a8"]["mean"],
+            "cert_bs128_gap_sigma": d["gap_headline_a8"]["sigma"],
+            "cert_bs128_n_seeds": d["gap_headline_a8"]["n_seeds"],
+        }
+    except Exception:
+        return None
 
 
 def _cert_gaps(headline_cfg):
     """Read the recorded bs128 certification gaps vs FP32.
 
-    Returns emit fields only when the artifacts exist AND the headline
-    arm's recorded knobs match the current headline config (otherwise
-    the certification no longer covers the benched operating point and
-    the fields are replaced by an explicit staleness marker).
+    Prefers the seed-banded campaign artifact
+    (benchmarks/cert_bs128_seeds.json); falls back to the round-4
+    single-seed artifacts.  Returns emit fields only when the artifacts
+    exist AND the headline arm's recorded knobs match the current
+    headline config (otherwise the certification no longer covers the
+    benched operating point and the fields are replaced by an explicit
+    staleness marker).
     """
+    banded = _cert_gaps_banded(headline_cfg)
+    if banded is not None:
+        out = banded
+        out.update(_faithful_recorded())
+        return out
     out = {}
     try:
         with open(_CERT_BASE) as f:
@@ -139,6 +183,12 @@ def _cert_gaps(headline_cfg):
             out["cert_headline_config_match"] = False
     except Exception:
         out["cert_artifacts"] = "unavailable"
+    out.update(_faithful_recorded())
+    return out
+
+
+def _faithful_recorded():
+    out = {}
     try:
         with open(_FAITHFUL_REC) as f:
             rec = json.load(f)
@@ -146,6 +196,14 @@ def _cert_gaps(headline_cfg):
                 and int(rec.get("unroll", -1)) == UNROLL):
             out["faithful_vs_baseline_recorded"] = float(
                 rec["vs_baseline"])
+    except Exception:
+        pass
+    try:
+        with open(_ROOFLINE_REC) as f:
+            rl = json.load(f)
+        if int(rl.get("batch", -1)) == BATCH:
+            out["hbm_roofline_frac"] = float(rl["hbm_roofline_frac"])
+            out["mxu_int8_frac"] = float(rl["mxu_int8_frac"])
     except Exception:
         pass
     return out
