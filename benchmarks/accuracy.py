@@ -14,6 +14,11 @@ only, but the machinery is identical.
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+import jax as _jax
+_jax.config.update("jax_compilation_cache_dir",
+                   _os.path.expanduser("~/.cache/lbt_tpu_xla"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import argparse
 import json
 import os
@@ -33,7 +38,7 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         range_update_every: int = 1, act_dtype: str = "f32",
         noise_shared_axis0: bool = False,
         bn_residual_q16: bool = False,
-        bits_w: int = 0) -> dict:
+        bits_w: int = 0, stem_s2d: bool = False) -> dict:
     import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
            else dataclasses.replace(
@@ -43,7 +48,7 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
                range_update_every=range_update_every,
                act_dtype=act_dtype,
                noise_shared_axis0=noise_shared_axis0,
-               bn_residual_q16=bn_residual_q16))
+               bn_residual_q16=bn_residual_q16, stem_s2d=stem_s2d))
     if bits_w and bits < 32:
         # mixed scheme (BASELINE config 3): narrow weights, wider
         # activations/grads
@@ -58,6 +63,12 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         # parameterized factories (resnet/vgg/imagenet) accept it — the
         # four fixed reference models are 10-class by construction
         kw["num_classes"] = nc
+    xtr = data["train"][0]
+    if model_name.startswith("Imagenet") and xtr.ndim == 4 \
+            and xtr.shape[1] != 224:
+        # dataset override (e.g. imagenet112): size the stem/head to the
+        # actual data
+        kw["image_size"] = int(xtr.shape[1])
     model = build_model(model_name, cfg, weight_decay=tc.weight_decay,
                         **kw)
     trainer = Trainer(model, tc, data, augment=augment,
@@ -78,6 +89,10 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="CIFAR10_Resnet20")
+    ap.add_argument("--dataset", default=None,
+                    help="override the model's default dataset (e.g. "
+                         "imagenet112 for stem-shaped certification "
+                         "runs at tractable size)")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n_train", type=int, default=10000)
     ap.add_argument("--n_test", type=int, default=2000)
@@ -120,6 +135,9 @@ def main():
     ap.add_argument("--bn_residual_q16", action="store_true",
                     help="bf16 quantized-input BN residuals "
                          "(QuantConfig.bn_residual_q16)")
+    ap.add_argument("--stem_s2d", action="store_true",
+                    help="space-to-depth ImageNet stem "
+                         "(QuantConfig.stem_s2d; no-op on CIFAR stems)")
     ap.add_argument("--tag", default="")
     ap.add_argument("--bn_momentum", type=float, default=0.99)
     ap.add_argument("--scan_steps", type=int, default=0,
@@ -137,7 +155,7 @@ def main():
         if not 1 <= b <= 32:
             raise SystemExit(f"--bits entries must be 1..32, got {b}")
 
-    ds = MODEL_DATASET[args.model]
+    ds = args.dataset or MODEL_DATASET[args.model]
     if args.hard:
         data = load_dataset(ds, n_train=args.n_train, n_test=args.n_test,
                             signal=args.signal,
@@ -204,7 +222,8 @@ def main():
             act_dtype=args.act_dtype,
             noise_shared_axis0=args.noise_shared_axis0,
             bn_residual_q16=args.bn_residual_q16,
-            bits_w=args.bits_w)) for b in args.bits]
+            bits_w=args.bits_w, stem_s2d=args.stem_s2d))
+            for b in args.bits]
 
     for name, kw in jobs:
         r = run(args.model, kw.pop("bits"), tc, data, augment,

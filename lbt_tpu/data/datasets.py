@@ -31,6 +31,10 @@ _SHAPES = {
     "cifar10": ((32, 32, 3), 10, 50000, 10000),
     "cifar100": ((32, 32, 3), 100, 50000, 10000),
     "imagenet": ((224, 224, 3), 1000, 128116, 5000),  # imagenet-subset scale
+    # ImageNet-stem-shaped accuracy harness: same 7x7/s2 stem + stage
+    # topology as 'imagenet' but 112px, so multi-arm certification runs
+    # (e.g. the s2d stem) fit host memory / tunnel bandwidth (round 5)
+    "imagenet112": ((112, 112, 3), 1000, 32768, 5000),
 }
 
 _KERAS_FILES = {
@@ -174,6 +178,7 @@ AUG_SPECS = {
     "cifar10": {"pad": 4, "flip": True},
     "cifar100": {"pad": 4, "flip": True},
     "imagenet": {"pad": 16, "flip": True},
+    "imagenet112": {"pad": 8, "flip": True},
 }
 
 
