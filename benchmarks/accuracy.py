@@ -38,7 +38,8 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
         range_update_every: int = 1, act_dtype: str = "f32",
         noise_shared_axis0: bool = False,
         bn_residual_q16: bool = False,
-        bits_w: int = 0, stem_s2d: bool = False) -> dict:
+        bits_w: int = 0, stem_s2d: bool = False,
+        initial_exponent_g=None) -> dict:
     import dataclasses
     cfg = (QuantConfig.fp32() if bits >= 32
            else dataclasses.replace(
@@ -48,7 +49,8 @@ def run(model_name: str, bits: int, tc: TrainConfig, data, augment,
                range_update_every=range_update_every,
                act_dtype=act_dtype,
                noise_shared_axis0=noise_shared_axis0,
-               bn_residual_q16=bn_residual_q16, stem_s2d=stem_s2d))
+               bn_residual_q16=bn_residual_q16, stem_s2d=stem_s2d,
+               initial_exponent_g=initial_exponent_g))
     if bits_w and bits < 32:
         # mixed scheme (BASELINE config 3): narrow weights, wider
         # activations/grads
@@ -135,6 +137,10 @@ def main():
     ap.add_argument("--bn_residual_q16", action="store_true",
                     help="bf16 quantized-input BN residuals "
                          "(QuantConfig.bn_residual_q16)")
+    ap.add_argument("--initial_exponent_g", type=int, default=None,
+                    help="cold-start exponent for gradient sites "
+                         "(QuantConfig.initial_exponent_g; required for "
+                         "ImageNet-scale models — see config.py)")
     ap.add_argument("--stem_s2d", action="store_true",
                     help="space-to-depth ImageNet stem "
                          "(QuantConfig.stem_s2d; no-op on CIFAR stems)")
@@ -187,6 +193,8 @@ def main():
                    "n_train": args.n_train,
                    "lr_decay_epochs": list(decay_epochs),
                    "lr_decay_factor": args.lr_decay_factor,
+                   "warmup_epochs": args.warmup_epochs,
+                   "seed": args.seed,
                    "bn_momentum": args.bn_momentum},
         "runs": [],
     }
@@ -222,7 +230,8 @@ def main():
             act_dtype=args.act_dtype,
             noise_shared_axis0=args.noise_shared_axis0,
             bn_residual_q16=args.bn_residual_q16,
-            bits_w=args.bits_w, stem_s2d=args.stem_s2d))
+            bits_w=args.bits_w, stem_s2d=args.stem_s2d,
+            initial_exponent_g=args.initial_exponent_g))
             for b in args.bits]
 
     for name, kw in jobs:

@@ -33,6 +33,23 @@ class QuantConfig:
     conv_act_extra: int = 1  # conv activations quantized at bits_a + this
     target_overflow_rate: float = 0.0
     initial_exponent: int = 2
+    # Cold-start exponent for the GRADIENT (cotangent) sites only; None =
+    # initial_exponent (reference semantics, dynamic_fixed_point.py:131).
+    # The reference default of 2 is tuned for [-1,1] *inputs*; true
+    # cotangents start around 1e-3..1e-5, and the controller only walks
+    # one position per step (update_range truth table).  During that
+    # walk-down, stochastic rounding turns sub-LSB gradients into sparse
+    # +/-LSB spikes (LSB = 2^exp/2^(bits-1) = 1/32 at exp 2), which at
+    # ImageNet-ResNet tensor sizes inject enough weight noise in ~15
+    # steps to permanently blow up the weight scale (BatchNorm hides it
+    # from the train loss; eval EMA statistics lag and the test loss
+    # explodes — see tests/test_models.py::test_imagenet_grad_cold_start
+    # and BENCH_NOTES round 5).  Starting LOW is safe by asymmetry: the
+    # walk-UP only clips large gradients for a few steps (bounded,
+    # SGD-benign), while the walk-DOWN injects amplified noise.  -10 puts
+    # the first grid around 2^-10..2^-17 which covers typical init-time
+    # cotangents; CIFAR-scale certifications are insensitive to it.
+    initial_exponent_g: int | None = None
     # Stochastic rounding. The reference hard-codes stochastic=True at every
     # quantization site and ignores its --stochastic flag (reference
     # dynamic_fixed_point.py:288,290,301 etc.); deterministic rounding is
@@ -206,6 +223,10 @@ class QuantConfig:
             raise ValueError("range_update_every must be >= 1")
         if self.act_dtype not in ("f32", "bf16"):
             raise ValueError(f"unknown act_dtype {self.act_dtype!r}")
+        if self.initial_exponent_g is not None and not (
+                -64 <= self.initial_exponent_g <= 31):
+            raise ValueError(
+                f"initial_exponent_g={self.initial_exponent_g} out of range")
 
     @property
     def bits_a_conv(self) -> int:

@@ -35,11 +35,19 @@ _E0 = 0  # dummy exponent for absent sites (plain int: no backend init at import
 
 def _init_exps(cfg: QuantConfig, sites) -> dict:
     """int32 exponent per active (< 32-bit) site; init reference default 2
-    (reference dynamic_fixed_point.py:131,256-266)."""
+    (reference dynamic_fixed_point.py:131,256-266).  Gradient sites may
+    cold-start lower (QuantConfig.initial_exponent_g — the walk-down
+    noise-injection fix; see config.py)."""
     return {
-        name: jnp.int32(cfg.initial_exponent)
+        name: jnp.int32(_site_init_exp(cfg, name))
         for name, bits in sites if bits < 32
     }
+
+
+def _site_init_exp(cfg: QuantConfig, site: str) -> int:
+    if site == "grad" and cfg.initial_exponent_g is not None:
+        return cfg.initial_exponent_g
+    return cfg.initial_exponent
 
 
 class Dense(Layer):
@@ -434,7 +442,7 @@ class GradientBuffer(Layer):
         if cfg.bits_g >= 32:
             return {}, {"exp": {}, "state": {}}
         return {}, {
-            "exp": {"grad": jnp.int32(cfg.initial_exponent)},
+            "exp": {"grad": jnp.int32(_site_init_exp(cfg, "grad"))},
             "state": {"buffer": jnp.zeros(self.shape, jnp.float32)},
         }
 

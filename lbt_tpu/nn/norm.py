@@ -11,6 +11,7 @@ from lbt_tpu.config import QuantConfig
 from lbt_tpu.dfxp.barrier import grad_quant_barrier
 from lbt_tpu.dfxp.quantize import quantize_ste
 from lbt_tpu.nn.core import Layer, Sequential
+from lbt_tpu.nn.layers import _site_init_exp
 
 _SITE_X, _SITE_GAMMA, _SITE_BETA, _SITE_G = range(4)
 _E0 = 0  # plain int: importing the package must not init the JAX backend
@@ -121,7 +122,7 @@ class Normalization(Layer):
         if cfg.bits_a < 32:
             exp["x"] = jnp.int32(cfg.initial_exponent)
         if cfg.bits_g < 32:
-            exp["grad"] = jnp.int32(cfg.initial_exponent)
+            exp["grad"] = jnp.int32(_site_init_exp(cfg, "grad"))
         state = {
             "mean": jnp.zeros((self.num_features,), jnp.float32),
             "var": jnp.ones((self.num_features,), jnp.float32),
@@ -226,7 +227,7 @@ class Rescale(Layer):
             exp["gamma"] = jnp.int32(cfg.initial_exponent)
             exp["beta"] = jnp.int32(cfg.initial_exponent)
         if cfg.bits_g < 32:
-            exp["grad"] = jnp.int32(cfg.initial_exponent)
+            exp["grad"] = jnp.int32(_site_init_exp(cfg, "grad"))
         return params, {"exp": exp, "state": {}}
 
     def sink_spec(self):
@@ -327,7 +328,7 @@ class FusedBatchNorm(Layer):
             exp["gamma"] = jnp.int32(cfg.initial_exponent)
             exp["beta"] = jnp.int32(cfg.initial_exponent)
         if cfg.bits_g < 32:
-            exp["grad"] = jnp.int32(cfg.initial_exponent)
+            exp["grad"] = jnp.int32(_site_init_exp(cfg, "grad"))
         state = {
             "mean": jnp.zeros((self.num_features,), jnp.float32),
             "var": jnp.ones((self.num_features,), jnp.float32),

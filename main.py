@@ -71,6 +71,15 @@ def parse_args():
                    help="fully rematerialize BN in backward (memory "
                         "knob; recomputes batch moments — slower than "
                         "bn_residual_q16, see BENCH_NOTES)")
+    p.add_argument("--initial_exponent_g", type=int, default=None,
+                   help="cold-start exponent for the gradient sites only "
+                        "(QuantConfig.initial_exponent_g; e.g. -10 for "
+                        "ImageNet-scale models — the reference default 2 "
+                        "makes the early walk-down inject LSB-scale "
+                        "gradient noise, see config.py)")
+    p.add_argument("--stem_s2d", action="store_true",
+                   help="space-to-depth ImageNet stem "
+                        "(QuantConfig.stem_s2d; no-op on CIFAR stems)")
     p.add_argument("--range_update_every", type=int, default=1,
                    help="run the DFXP range controllers every K-th step "
                         "(1 = reference cadence; larger K skips most of "
@@ -173,7 +182,8 @@ def main():
     ba = args.bits_a if args.bits_a is not None else args.bits
     bg = args.bits_g if args.bits_g is not None else args.bits
     if bw >= 32 and ba >= 32 and bg >= 32:
-        cfg = QuantConfig.fp32()
+        import dataclasses
+        cfg = dataclasses.replace(QuantConfig.fp32(), stem_s2d=args.stem_s2d)
     else:
         cfg = QuantConfig(
             bits_w=bw, bits_a=ba, bits_b=bw, bits_g=bg,
@@ -190,6 +200,8 @@ def main():
             act_dtype=args.act_dtype,
             remat_bn=args.remat_bn,
             bn_residual_q16=args.bn_residual_q16,
+            initial_exponent_g=args.initial_exponent_g,
+            stem_s2d=args.stem_s2d,
         )
     tc = TrainConfig(
         lr=args.lr, momentum=args.momentum,

@@ -125,3 +125,88 @@ def test_resnet_gradient_buffer_sites():
     assert float(jnp.abs(
         qstate["grad-buffer-head"]["state"]["buffer"]).max()) >= 0
     assert np.isfinite(float(m["loss"]))
+
+
+def test_initial_exponent_g_cold_start_knob():
+    """QuantConfig.initial_exponent_g re-bases ONLY the gradient sites'
+    cold-start exponents (the ImageNet walk-down fix, config.py); all
+    other sites keep the reference init of 2
+    (reference dynamic_fixed_point.py:131)."""
+    import dataclasses
+    cfg = dataclasses.replace(QuantConfig.uniform(8),
+                              initial_exponent_g=-10)
+    model = build_model("Imagenet_Resnet18", cfg, num_classes=10,
+                        image_size=64)
+    _, qstate = model.init(jax.random.key(0))
+    leaves = jax.tree_util.tree_flatten_with_path(qstate)[0]
+    n_grad = n_other = 0
+    for path, leaf in leaves:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if "exp" not in keys:
+            continue
+        if keys[-1] == "grad":
+            assert int(leaf) == -10, keys
+            n_grad += 1
+        else:
+            assert int(leaf) == 2, keys
+            n_other += 1
+    assert n_grad > 10 and n_other > 10
+    # default None preserves reference semantics at every site
+    model2 = build_model("Imagenet_Resnet18", QuantConfig.uniform(8),
+                         num_classes=10, image_size=64)
+    _, q2 = model2.init(jax.random.key(0))
+    for path, leaf in jax.tree_util.tree_flatten_with_path(q2)[0]:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if "exp" in keys:
+            assert int(leaf) == 2, keys
+
+
+@pytest.mark.slow
+def test_imagenet_grad_cold_start_dynamics():
+    """The mechanism behind the ImageNet-model DFXP-8 collapse (round-5
+    finding, BENCH_NOTES): with the reference grad-exponent init of 2,
+    stochastic rounding of sub-LSB early cotangents injects sparse
+    +/-LSB spikes during the controller's one-step-per-step walk-down,
+    blowing up the conv weight norms within the first ~30 steps
+    (BatchNorm then hides it from the train loss while eval explodes).
+    initial_exponent_g=-10 removes the injection; weight norms stay
+    near their fp32 trajectory."""
+    import dataclasses
+    from lbt_tpu.config import TrainConfig
+    from lbt_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 64, 64, 3)).astype(np.float32)
+    y = rng.integers(0, 10, 64).astype(np.int32)
+    data = {"train": (x, y), "test": (x[:16], y[:16]), "synthetic": True,
+            "num_classes": 10}
+
+    def conv1_norm(init_g):
+        cfg = dataclasses.replace(
+            QuantConfig.uniform(8, engine="sim"),
+            bits_w=32, bits_a=32, bits_b=32, conv_act_extra=0,
+            bn_momentum=0.99, initial_exponent_g=init_g)
+        model = build_model("Imagenet_Resnet18", cfg, num_classes=10,
+                            image_size=64)
+        tc = TrainConfig(lr=0.01, batch_size=16, n_epoch=1,
+                         lr_decay_epochs=(100,), log_every=1000, seed=0)
+        tr = Trainer(model, tc, data, augment=None)
+        tr.train_epoch(0)  # 4 steps... need more: 64/16 = 4 steps/epoch
+        for ep in range(1, 8):
+            tr.epoch += 1
+            tr.train_epoch(ep)
+        w = tr.params["conv1"]["W"] if "conv1" in tr.params else None
+        if w is None:  # prefixed param naming
+            leaves = jax.tree_util.tree_flatten_with_path(tr.params)[0]
+            for path, leaf in leaves:
+                name = "/".join(getattr(p, "key", str(p)) for p in path)
+                if name.endswith("conv1/W") and "stage" not in name:
+                    w = leaf
+                    break
+        return float(np.linalg.norm(np.asarray(w)))
+
+    n_bad = conv1_norm(2)       # reference init: noise-injection regime
+    n_good = conv1_norm(-10)    # fix: no injection
+    # fp32-init conv1 norm is ~8.3; the injection regime multiplies it
+    assert n_bad > 2.5 * n_good, (n_bad, n_good)
+    assert n_good < 12.0, n_good

@@ -281,3 +281,31 @@ def test_code_storage_dtype_narrow_and_exact():
     assert np.array_equal(np.asarray(all_codes.astype(jnp.bfloat16),
                                      np.float32),
                           np.asarray(all_codes))
+
+
+def test_stochastic_sub_lsb_noise_scale():
+    """Stochastic rounding of sub-LSB values is unbiased but injects
+    noise of LSB scale, NOT signal scale: rms(q - x) ~ sqrt(LSB*E|x|)
+    >> rms(x) when the exponent is far above the data.  This is the
+    mechanism behind the ImageNet grad-exponent cold-start collapse
+    (QuantConfig.initial_exponent_g, config.py): cotangents ~1e-4 on
+    the reference init-2 grid (LSB = 2^2/128 = 1/32) come out as sparse
+    +/-1/32 spikes ~18x their own rms."""
+    from lbt_tpu.dfxp.quantize import quantize
+
+    key = jax.random.key(7)
+    x = jax.random.normal(jax.random.key(1), (4096,)) * 1e-4
+    rms = lambda v: float(jnp.sqrt(jnp.mean(jnp.square(v))))
+
+    q_hot = quantize(x, 8, jnp.int32(2), key, stochastic=True)
+    err_hot = rms(q_hot - x)
+    # noise ~ sqrt(LSB * E|x|) = sqrt(0.03125 * 8e-5) ~ 1.6e-3 >> 1e-4
+    assert err_hot > 8.0 * rms(x), (err_hot, rms(x))
+    # unbiased all the same (mean error -> 0)
+    assert abs(float(jnp.mean(q_hot - x))) < 5.0 * err_hot / 64.0
+
+    # on a grid that covers the data (exp -10: LSB = 2^-10/128 = 7.6e-6)
+    # the error drops BELOW the signal
+    q_cold = quantize(x, 8, jnp.int32(-10), key, stochastic=True)
+    err_cold = rms(q_cold - x)
+    assert err_cold < 0.1 * rms(x), (err_cold, rms(x))
