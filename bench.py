@@ -105,6 +105,39 @@ _ROOFLINE_REC = os.path.join(_HERE, "benchmarks", "roofline_r05.json")
 
 
 _CERT_SEEDS = os.path.join(_HERE, "benchmarks", "cert_bs128_seeds.json")
+# Round-5 ImageNet-stem certification (benchmarks/cert_imagenet_stem.py):
+# DFXP-8 accuracy on an ImageNet-stem model (needs initial_exponent_g
+# against the grad cold-start collapse, BENCH_NOTES round 5) and the
+# stem_s2d promotion gate for the headline measurement.
+_CERT_IMSTEM = os.path.join(_HERE, "benchmarks", "cert_imagenet_stem.json")
+
+
+def _imagenet_stem_fields(headline_cfg):
+    """Recorded ImageNet-stem certification gaps + the s2d promotion
+    verdict.  Voided (and promotion withheld) unless the artifact's
+    lean arm ran the current headline knobs."""
+    try:
+        with open(_CERT_IMSTEM) as f:
+            d = json.load(f)
+        hc = d["headline_config"]
+        if not (hc.get("engine") == headline_cfg.engine
+                and hc.get("noise_mode") == headline_cfg.noise_mode
+                and bool(hc.get("fused_bn")) == bool(headline_cfg.fused_bn)
+                and int(hc.get("range_update_every", -1))
+                == int(headline_cfg.range_update_every)
+                and hc.get("act_dtype") == headline_cfg.act_dtype
+                and int(hc.get("conv_act_extra", -1))
+                == int(headline_cfg.conv_act_extra)):
+            return {"cert_imstem_config_match": False}, False
+        out = {
+            "cert_imstem_gap_faithful": d["gaps_vs_fp32"]["faithful_int8"],
+            "cert_imstem_gap_headline_a8": d["gaps_vs_fp32"]["lean_a8"],
+            "cert_imstem_s2d_delta": d["s2d_vs_nos2d_delta"],
+            "cert_imstem_initial_exponent_g": hc.get("initial_exponent_g"),
+        }
+        return out, bool(d["certifies"].get("stem_s2d_promotion"))
+    except Exception:
+        return {}, False
 
 
 def _cert_gaps_banded(headline_cfg):
@@ -271,6 +304,14 @@ def main():
         conv_act_extra=0)
     baseline = QuantConfig.uniform(8, engine="sim_bf16", noise_mode="prng")
     _CERT_FIELDS.update(_cert_gaps(headline))
+    imstem_fields, s2d_certified = _imagenet_stem_fields(headline)
+    _CERT_FIELDS.update(imstem_fields)
+    if s2d_certified:
+        # promotion gate: only measure with the MLPerf s2d stem when the
+        # ImageNet-stem campaign certified it against the same lean-a8
+        # config (perf and accuracy share an operating point)
+        headline = dataclasses.replace(headline, stem_s2d=True)
+        _CERT_FIELDS["stem_s2d"] = True
 
     try:
         with open(_BASELINE_CACHE) as f:
